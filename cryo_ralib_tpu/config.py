@@ -1,0 +1,135 @@
+"""Alignment configuration and search-grid geometry.
+
+TPU-native equivalent of the reference's ``AlignConfig`` struct and the
+polar/shift grid generators (reference: ``cuda/gpu_aln_common.h:62-83``,
+``cuda/gpu_aln_common.cu:39-84``).  Unlike the CUDA build, the config is a
+frozen dataclass whose derived grids are plain numpy arrays baked into the
+jitted alignment step as compile-time constants (static shapes are what XLA
+wants; there is no runtime "reset_shifts" mutation — a new config simply
+triggers a re-jit, which is cached per shape).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import cached_property
+
+import numpy as np
+
+# Default polar-sampling parameters, mirroring the CUDA defaults
+# (reference: cuda/gpu_aln_common.h:48-54).
+DEFAULT_RING_LEN = 256
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignConfig:
+    """Static parameters of a 2D rotational+translational alignment search.
+
+    Mirrors the reference ``AlignConfig`` (cuda/gpu_aln_common.h:62-76):
+      sbj_num/ref_num are runtime array dims here and therefore omitted —
+      JAX shapes carry them.
+
+    Attributes:
+      img_dim:    square image side length in pixels (nx).
+      ring_num:   number of polar rings; ring i sits at radius i+1.
+      ring_len:   number of samples per ring (uniform across rings, unlike
+                  EMAN2's variable-length Numrinit rings; matches the CUDA
+                  path which hardcodes 256).
+      shift_step: step of the x/y shift grid (``ts``).
+      shift_rng_x / shift_rng_y: inclusive +/- shift search ranges.
+    """
+
+    img_dim: int
+    ring_num: int = 32
+    ring_len: int = DEFAULT_RING_LEN
+    shift_step: float = 1.0
+    shift_rng_x: float = 0.0
+    shift_rng_y: float = 0.0
+
+    def __post_init__(self):
+        if self.img_dim <= 0:
+            raise ValueError("img_dim must be positive")
+        if self.ring_num <= 0:
+            raise ValueError("ring_num must be positive")
+        if self.ring_len % 2 != 0:
+            raise ValueError("ring_len must be even (rfft over rings)")
+        if self.shift_step <= 0:
+            raise ValueError("shift_step must be positive")
+        # Same sanity check as the reference drivers
+        # (test_mref_gpu_align.py:314-316): particle must not cross the
+        # image boundary under the largest shift.
+        if self.ring_num + max(self.shift_rng_x, self.shift_rng_y) > (self.img_dim - 1) // 2:
+            raise ValueError(
+                "Shift or radius is too large - particle crosses image boundary"
+            )
+
+    @cached_property
+    def polar_coords(self) -> np.ndarray:
+        """(ring_num, ring_len, 2) array of (x, y) offsets from image center.
+
+        Ring ``i`` lies at radius ``i+1``; sample ``j`` at angle
+        ``j / ring_len * 2*pi``.  Equivalent of
+        ``generate_polar_sampling_points`` (cuda/gpu_aln_common.cu:39-62).
+        """
+        i = np.arange(self.ring_num, dtype=np.float64)[:, None]
+        j = np.arange(self.ring_len, dtype=np.float64)[None, :]
+        ang = j / float(self.ring_len) * 2.0 * math.pi
+        x = np.cos(ang) * (i + 1.0)
+        y = np.sin(ang) * (i + 1.0)
+        return np.stack([x, y], axis=-1).astype(np.float32)
+
+    @cached_property
+    def shifts(self) -> np.ndarray:
+        """(S, 2) array of (sx, sy) global search shifts.
+
+        Cartesian grid [-xr..xr] x [-yr..yr] in steps of ``shift_step``,
+        x-major like ``generate_shift_array`` (cuda/gpu_aln_common.cu:64-84).
+        """
+        sx = _inclusive_range(self.shift_rng_x, self.shift_step)
+        sy = _inclusive_range(self.shift_rng_y, self.shift_step)
+        grid = [(x, y) for x in sx for y in sy]
+        return np.asarray(grid, dtype=np.float32).reshape(-1, 2)
+
+    @property
+    def n_shifts(self) -> int:
+        return int(self.shifts.shape[0])
+
+    @property
+    def n_freq(self) -> int:
+        """Number of rfft frequency bins per ring."""
+        return self.ring_len // 2 + 1
+
+    @cached_property
+    def ring_weights(self) -> np.ndarray:
+        """(ring_num,) linear ring weights.
+
+        The CUDA ccf kernels weight ring ``i`` by ``(i+1)``
+        (cuda/gpu_aln_noref.cu:978-981); this matches radius-proportional
+        weighting of the uniform-length rings.  (EMAN2's CPU path uses
+        ``ringwe`` weights over variable-length rings instead; we follow the
+        reference GPU behavior, see SURVEY.md §3.3.)
+        """
+        return (np.arange(self.ring_num, dtype=np.float32) + 1.0)
+
+    @property
+    def shift_limit(self) -> float:
+        """Clamp bound for accumulated per-particle shifts.
+
+        Matches ``CcfResultTable::compute_alignment_param``:
+        ``img_dim - ring_num - 2`` (cuda/gpu_aln_noref.cu:2262).
+        """
+        return float(self.img_dim - self.ring_num - 2)
+
+
+def _inclusive_range(rng: float, step: float) -> list[float]:
+    """[-rng, -rng+step, ..., rng] with float-safe inclusive upper bound."""
+    vals = []
+    s = -float(rng)
+    # guard against float drift excluding the endpoint (matches the C loop
+    # `for(s=-rng; s<=rng; s+=step)` closely enough for sane rng/step)
+    eps = step * 1e-4
+    while s <= rng + eps:
+        vals.append(round(s / step) * step if step else s)
+        s += step
+    return [float(v) for v in vals]

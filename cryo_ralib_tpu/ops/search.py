@@ -1,0 +1,222 @@
+"""Fused rotational + translational + mirror alignment search.
+
+This is the TPU rewrite of the reference's hot loop
+(``mref_align_run``/``pre_align_run``, cuda/gpu_aln_noref.cu:389-546):
+
+    for each shift: polar-resample -> ring FFT -> ccf vs refs (+mirror)
+    IFFT whole table -> per-particle argmax -> decode params
+
+The CUDA version materializes the full ccf table
+``(ring_len+2) * sbj * ref * shifts * 2`` floats and argmaxes it.  Here the
+shift axis is processed in chunks inside a ``lax.scan`` that keeps a
+*running* per-particle best — value, decoded indices, and the single
+best angle row needed later for parabolic refinement — so HBM never holds
+more than one chunk of ccf rows.  This removes the reference's main memory
+ceiling (its N10 size-check machinery) and is the main speed lever on TPU
+(SURVEY.md §7 "hard parts").
+
+All shapes are static; the scan length is ceil(S / chunk) with masked
+padding, so one compilation serves every iteration.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import AlignConfig
+from ..params import AlignParams
+from .ccf import ccf_rows, ccf_spectra, ccf_spectra_per_particle_ref, ring_spectra, weight_ring_spectra
+from .polar import polar_resample
+
+_NEG_INF = -3.0e38
+
+
+class SearchResult(NamedTuple):
+    """Raw per-particle search outcome (pre-decode)."""
+
+    best_val: jax.Array   # (N,) peak ccf value
+    best_row: jax.Array   # (N, L) angle row of the winning (mirror, shift, ref)
+    best_aidx: jax.Array  # (N,) int32 angle bin of the peak
+    best_sidx: jax.Array  # (N,) int32 global shift-grid index
+    best_ref: jax.Array   # (N,) int32 winning reference
+    best_mirror: jax.Array  # (N,) int32 0/1
+
+
+def prepare_ref_spectra(refs, cfg: AlignConfig):
+    """References -> weighted ring spectra (K, R, F).
+
+    Matches ``ref_batch->resample_to_polar(0,0,0) + apply_FFT`` at the top
+    of every *_run call (cuda/gpu_aln_noref.cu:396-397) with the ring
+    weights folded in.
+    """
+    coords = jnp.asarray(cfg.polar_coords)
+    ref_polar = polar_resample(refs, coords)  # (K, R, L)
+    ref_f = ring_spectra(ref_polar)
+    return weight_ring_spectra(ref_f, jnp.asarray(cfg.ring_weights))
+
+
+def rotational_shift_search(
+    images,
+    ref_fw,
+    params: AlignParams,
+    cfg: AlignConfig,
+    shift_chunk: int = 8,
+    per_particle_ref: bool = False,
+) -> SearchResult:
+    """Run the full (mirror x shift x ref x angle) search for one batch.
+
+    Args:
+      images: (N, H, W) float32 particle stack (HBM resident).
+      ref_fw: (K, R, F) weighted reference ring spectra
+              (``prepare_ref_spectra``).
+      params: current AlignParams; accumulated shifts feed the resampling
+              center exactly like ``u_aln_param[i].shift_x`` in
+              ``cu_resample_to_polar`` (cuda/gpu_aln_noref.cu:861-863).
+      cfg:    AlignConfig (shift grid, rings).
+      shift_chunk: how many candidate shifts to materialize at once; purely
+              a memory/perf knob, result is identical.
+      per_particle_ref: use each particle's current ref only
+              (``cu_ccf_mult`` semantics) instead of all refs.
+
+    Returns:
+      SearchResult with the winning (value, row, angle bin, shift, ref,
+      mirror) per particle.
+    """
+    n = images.shape[0]
+    ring_len = cfg.ring_len
+    shifts = cfg.shifts  # (S, 2) numpy
+    s_total = shifts.shape[0]
+    chunk = max(1, min(shift_chunk, s_total))
+    n_chunks = math.ceil(s_total / chunk)
+    pad = n_chunks * chunk - s_total
+
+    shifts_padded = np.concatenate(
+        [shifts, np.zeros((pad, 2), np.float32)], axis=0
+    ).reshape(n_chunks, chunk, 2)
+    valid = np.concatenate(
+        [np.ones(s_total, np.float32), np.zeros(pad, np.float32)]
+    ).reshape(n_chunks, chunk)
+
+    coords = jnp.asarray(cfg.polar_coords)
+    shifts_dev = jnp.asarray(shifts_padded)
+    # additive mask: 0 for real shifts, -inf for padding
+    mask_dev = jnp.asarray(np.where(valid > 0, 0.0, _NEG_INF).astype(np.float32))
+
+    init = SearchResult(
+        best_val=jnp.full((n,), _NEG_INF, jnp.float32),
+        best_row=jnp.zeros((n, ring_len), jnp.float32),
+        best_aidx=jnp.zeros((n,), jnp.int32),
+        best_sidx=jnp.zeros((n,), jnp.int32),
+        best_ref=jnp.zeros((n,), jnp.int32),
+        best_mirror=jnp.zeros((n,), jnp.int32),
+    )
+
+    def body(carry: SearchResult, xs):
+        chunk_idx, chunk_shifts, chunk_mask = xs
+        # total shift per (particle, candidate): accumulated + global grid
+        sx = params.shift_x[:, None] + chunk_shifts[None, :, 0]
+        sy = params.shift_y[:, None] + chunk_shifts[None, :, 1]
+        polar = polar_resample(images, coords, sx, sy)  # (N, C, R, L)
+        sbj_f = ring_spectra(polar)
+        if per_particle_ref:
+            orig_f, mirr_f = ccf_spectra_per_particle_ref(sbj_f, ref_fw, params.ref_id)
+        else:
+            orig_f, mirr_f = ccf_spectra(sbj_f, ref_fw)
+        rows = ccf_rows(orig_f, mirr_f, ring_len)  # (N, 2, C, K, L)
+        k = rows.shape[3]
+        rows = rows + chunk_mask[None, None, :, None, None]
+
+        flat = rows.reshape(n, -1)
+        idx = jnp.argmax(flat, axis=1)
+        val = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+
+        # decompose flat index ordered (mirror, chunk_pos, ref, angle)
+        aidx = idx % ring_len
+        rest = idx // ring_len
+        ridx = rest % k
+        rest = rest // k
+        cidx = rest % chunk
+        midx = rest // chunk
+
+        row = jnp.take_along_axis(
+            rows.reshape(n, 2 * chunk * k, ring_len), (idx // ring_len)[:, None, None], axis=1
+        )[:, 0, :]
+
+        # strict '>' keeps the first-seen maximum across chunks, matching the
+        # left-to-right tie behavior of the reference row scan
+        better = val > carry.best_val
+        sel_i = lambda new, old: jnp.where(better, new.astype(jnp.int32), old)
+        new_carry = SearchResult(
+            best_val=jnp.where(better, val, carry.best_val),
+            best_row=jnp.where(better[:, None], row, carry.best_row),
+            best_aidx=sel_i(aidx, carry.best_aidx),
+            best_sidx=sel_i(chunk_idx * chunk + cidx, carry.best_sidx),
+            best_ref=sel_i(ridx, carry.best_ref),
+            best_mirror=sel_i(midx, carry.best_mirror),
+        )
+        return new_carry, None
+
+    xs = (jnp.arange(n_chunks, dtype=jnp.int32), shifts_dev, mask_dev)
+    if n_chunks == 1:
+        result, _ = body(init, (jnp.int32(0), shifts_dev[0], mask_dev[0]))
+    else:
+        result, _ = jax.lax.scan(body, init, xs)
+    return result
+
+
+def decode_params(
+    result: SearchResult, params: AlignParams, cfg: AlignConfig,
+    update_ref: bool = True,
+) -> AlignParams:
+    """Turn a SearchResult into updated AlignParams.
+
+    Reproduces ``CcfResultTable::compute_alignment_param`` and
+    ``interpolate_angle`` (cuda/gpu_aln_noref.cu:2249-2314, 2352-2399):
+
+    * shifts accumulate (``+=``) and clamp to ``+/-(img_dim-ring_num-2)``;
+    * angle = parabolic refinement of the peak bin (SPARX ``Util::prb1d``
+      7-point fit), then EMAN2-compatibility flip ``360 - angle`` and
+      ``+180`` (mod 360) when mirrored.
+    """
+    ring_len = cfg.ring_len
+    step = 360.0 / ring_len
+
+    # 7-point window around the peak, circular in angle (modulo ring_len,
+    # as in the CUDA code which wraps with % ring_len)
+    offs = jnp.arange(-3, 4, dtype=jnp.int32)[None, :]
+    gather_idx = (result.best_aidx[:, None] + offs) % ring_len
+    x = jnp.take_along_axis(result.best_row, gather_idx, axis=1)  # (N, 7)
+
+    c2 = (49.0 * x[:, 0] + 6.0 * x[:, 1] - 21.0 * x[:, 2] - 32.0 * x[:, 3]
+          - 27.0 * x[:, 4] - 6.0 * x[:, 5] + 31.0 * x[:, 6])
+    c3 = (5.0 * x[:, 0] - 3.0 * x[:, 2] - 4.0 * x[:, 3] - 3.0 * x[:, 4]
+          + 5.0 * x[:, 6])
+    base_angle = step * result.best_aidx.astype(jnp.float32)
+    refine = jnp.where(c3 != 0.0, step * (c2 / (2.0 * c3) - 4.0), 0.0)
+    angle = 360.0 - (base_angle + refine)
+    mirrored = result.best_mirror == 1
+    # the reference wraps into [0, 360) only on the mirrored branch
+    # (cuda/gpu_aln_noref.cu:2306-2310); replicate exactly
+    angle_m = angle + 180.0
+    angle_m = jnp.where(angle_m >= 360.0, angle_m - 360.0, angle_m)
+    angle = jnp.where(mirrored, angle_m, angle)
+
+    shift_grid = jnp.asarray(cfg.shifts)
+    dsx = jnp.take(shift_grid[:, 0], result.best_sidx)
+    dsy = jnp.take(shift_grid[:, 1], result.best_sidx)
+    limit = cfg.shift_limit
+    new_sx = jnp.clip(params.shift_x + dsx, -limit, limit)
+    new_sy = jnp.clip(params.shift_y + dsy, -limit, limit)
+
+    return AlignParams(
+        angle=angle.astype(jnp.float32),
+        shift_x=new_sx,
+        shift_y=new_sy,
+        mirror=result.best_mirror,
+        ref_id=result.best_ref if update_ref else params.ref_id,
+    )

@@ -1,0 +1,232 @@
+"""NumPy golden model of the alignment pipeline.
+
+A deliberately straightforward, loop-based reimplementation of the CUDA
+semantics (cuda/gpu_aln_noref.cu) used as:
+
+1. the test oracle every JAX op is checked against (SURVEY.md §4: the
+   reference ships no test suite — we create the pyramid with golden-value
+   unit tests); and
+2. the "EMAN2 CPU" baseline proxy for the benchmark speedup numbers
+   (the reference's published 22x-37x is measured against SPHIRE's
+   ``mref_ali2d_MPI``, which enumerates the identical search space per
+   particle in C++ loops — see SURVEY.md §3.3).
+
+Nothing here imports JAX.  Keep this file boring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def bilinear_sample_np(img: np.ndarray, y: float, x: float) -> float:
+    """Clamp-to-edge bilinear read (texture semantics of
+    cuda/gpu_aln_noref.cu:2083-2086)."""
+    h, w = img.shape
+    x = min(max(x, 0.0), w - 1.0)
+    y = min(max(y, 0.0), h - 1.0)
+    ix0 = int(np.floor(x))
+    iy0 = int(np.floor(y))
+    ix1 = min(ix0 + 1, w - 1)
+    iy1 = min(iy0 + 1, h - 1)
+    fx = x - ix0
+    fy = y - iy0
+    top = img[iy0, ix0] * (1 - fx) + img[iy0, ix1] * fx
+    bot = img[iy1, ix0] * (1 - fx) + img[iy1, ix1] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def polar_resample_np(img: np.ndarray, coords: np.ndarray,
+                      shift_x: float = 0.0, shift_y: float = 0.0) -> np.ndarray:
+    """cu_resample_to_polar (cuda/gpu_aln_noref.cu:818-879) for one image."""
+    h, w = img.shape
+    r_num, r_len, _ = coords.shape
+    cx = w // 2 + shift_x
+    cy = h // 2 + shift_y
+    out = np.empty((r_num, r_len), np.float64)
+    for i in range(r_num):
+        for j in range(r_len):
+            out[i, j] = bilinear_sample_np(
+                img, cy + coords[i, j, 1], cx + coords[i, j, 0])
+    return out
+
+
+def ccf_table_np(sbj_polar: np.ndarray, ref_polar_list: np.ndarray,
+                 ring_weights: np.ndarray) -> np.ndarray:
+    """Rotational ccf rows of one subject (single shift) vs all refs.
+
+    Implements cu_ccf_mult_m math + C2R IFFT:
+    returns (2, K, L): [0] original, [1] mirrored.
+    Uses normalized np.fft.irfft (the cuFFT C2R scale L is argmax-neutral).
+    """
+    r_num, r_len = sbj_polar.shape
+    k = ref_polar_list.shape[0]
+    sf = np.fft.rfft(sbj_polar, axis=-1)
+    out = np.empty((2, k, r_len), np.float64)
+    for kk in range(k):
+        rf = np.fft.rfft(ref_polar_list[kk], axis=-1)
+        orig = np.zeros(sf.shape[-1], np.complex128)
+        mirr = np.zeros(sf.shape[-1], np.complex128)
+        for i in range(r_num):
+            orig += ring_weights[i] * np.conj(sf[i]) * rf[i]
+            mirr += ring_weights[i] * np.conj(sf[i] * rf[i])
+        out[0, kk] = np.fft.irfft(orig, n=r_len)
+        out[1, kk] = np.fft.irfft(mirr, n=r_len)
+    return out
+
+
+def prb1d(x: np.ndarray) -> float:
+    """SPARX Util::prb1d 7-point parabola peak offset, as specialized in
+    cu_interpolate_angle (cuda/gpu_aln_noref.cu:2352-2399).
+    Returns the interpolation factor (c2/(2*c3) - 4); 0 if degenerate."""
+    c2 = (49. * x[0] + 6. * x[1] - 21. * x[2] - 32. * x[3] - 27. * x[4]
+          - 6. * x[5] + 31. * x[6])
+    c3 = 5. * x[0] - 3. * x[2] - 4. * x[3] - 3. * x[4] + 5. * x[6]
+    if c3 != 0.0:
+        return c2 / (2.0 * c3) - 4.0
+    return 0.0
+
+
+def align_particle_np(img: np.ndarray, refs: np.ndarray, coords: np.ndarray,
+                      ring_weights: np.ndarray, shifts: np.ndarray,
+                      acc_sx: float, acc_sy: float, shift_limit: float):
+    """Full single-particle search + decode.
+
+    Mirrors mref_align_run for one particle: enumerate shifts, build the
+    ccf table rows, global argmax in [mirror][shift][ref][angle] order,
+    then compute_alignment_param decode (cuda/gpu_aln_noref.cu:2249-2314).
+
+    Returns dict(angle, shift_x, shift_y, mirror, ref_id, peak).
+    """
+    r_len = coords.shape[1]
+    k = refs.shape[0]
+    s = shifts.shape[0]
+    ref_polar = np.stack([polar_resample_np(r, coords) for r in refs])
+
+    table = np.empty((2, s, k, r_len), np.float64)
+    for si in range(s):
+        rows = ccf_table_np(
+            polar_resample_np(img, coords, acc_sx + shifts[si, 0],
+                              acc_sy + shifts[si, 1]),
+            ref_polar, ring_weights)
+        table[0, si] = rows[0]
+        table[1, si] = rows[1]
+
+    flat = table.reshape(-1)
+    idx = int(np.argmax(flat))
+    peak = flat[idx]
+    aidx = idx % r_len
+    rest = idx // r_len
+    ridx = rest % k
+    rest //= k
+    sidx = rest % s
+    midx = rest // s
+
+    row = table[midx, sidx, ridx]
+    xs = np.array([row[(aidx + i) % r_len] for i in range(-3, 4)])
+    step = 360.0 / r_len
+    angle = step * aidx + step * prb1d(xs)
+    angle = 360.0 - angle
+    if midx == 1:
+        angle += 180.0
+        if angle >= 360.0:
+            angle -= 360.0
+
+    sx = min(max(acc_sx + shifts[sidx, 0], -shift_limit), shift_limit)
+    sy = min(max(acc_sy + shifts[sidx, 1], -shift_limit), shift_limit)
+    return dict(angle=angle, shift_x=sx, shift_y=sy, mirror=int(midx),
+                ref_id=int(ridx), peak=peak)
+
+
+def transform_np(img: np.ndarray, angle: float, sx: float, sy: float,
+                 mirror: int) -> np.ndarray:
+    """cu_transform_batch (cuda/gpu_aln_noref.cu:1145-1197) for one image."""
+    h, w = img.shape
+    out = np.empty_like(img, dtype=np.float64)
+    a = np.deg2rad(angle)
+    ca, sa = np.cos(a), np.sin(a)
+    cx, cy = w // 2, h // 2
+    for yo in range(h):
+        for xo in range(w):
+            x0 = (w - xo) if mirror else xo
+            y0 = yo
+            ux, uy = x0 - cx, y0 - cy
+            rx = ux * ca - uy * sa + cx + sx
+            ry = ux * sa + uy * ca + cy + sy
+            out[yo, xo] = bilinear_sample_np(img, ry, rx)
+    return out
+
+
+def quadri_np(img: np.ndarray, yy: float, xx: float, ynew: int, xnew: int) -> float:
+    """EMAN2 quadri_background (notebook 02 cell 2) for one sample; 1-based
+    coords as in the kernel."""
+    h, w = img.shape
+
+    def fdata(i, j):
+        return img[j - 1, i - 1]
+
+    x, y = xx, yy
+    if x < 1.0 or x >= w + 1.0 or y < 1.0 or y >= h + 1.0:
+        x, y = float(xnew), float(ynew)
+    i, j = int(x), int(y)
+    dx0, dy0 = x - i, y - j
+    ip1, im1, jp1, jm1 = i + 1, i - 1, j + 1, j - 1
+    if ip1 > w: ip1 -= w
+    if im1 < 1: im1 += w
+    if jp1 > h: jp1 -= h
+    if jm1 < 1: jm1 += h
+    f0 = fdata(i, j)
+    c1 = fdata(ip1, j) - f0
+    c2 = (c1 - f0 + fdata(im1, j)) * 0.5
+    c3 = fdata(i, jp1) - f0
+    c4 = (c3 - f0 + fdata(i, jm1)) * 0.5
+    dxb, dyb = dx0 - 1, dy0 - 1
+    hxc = 1 if dx0 >= 0 else -1
+    hyc = 1 if dy0 >= 0 else -1
+    ic, jc = i + hxc, j + hyc
+    if ic > w: ic -= w
+    elif ic < 1: ic += w
+    if jc > h: jc -= h
+    elif jc < 1: jc += h
+    c5 = ((fdata(ic, jc) - f0 - hxc * c1 - (hxc * (hxc - 1.0)) * c2
+           - hyc * c3 - (hyc * (hyc - 1.0)) * c4) * (hxc * hyc))
+    return f0 + dx0 * (c1 + dxb * c2 + dy0 * c5) + dy0 * (c3 + dyb * c4)
+
+
+def rot_shift2d_np(img: np.ndarray, ang_deg: float, delx: float, dely: float,
+                   scale: float = 1.0) -> np.ndarray:
+    """rot_scale_trans2D_background kernel (notebook 02 cell 2), one image,
+    no mirror (the wrapper applies mirror as a post-flip)."""
+    h, w = img.shape
+    out = np.empty_like(img, dtype=np.float64)
+    if scale == 0.0:
+        scale = 1.0
+    ang = np.deg2rad(ang_deg)
+    # restrict2
+    while delx >= w: delx -= w
+    while delx <= -w: delx += w
+    while dely >= h: dely -= h
+    while dely <= -h: dely += h
+    xc, yc = w // 2, h // 2
+    shiftxc, shiftyc = xc + delx, yc + dely
+    cang, sang = np.cos(ang), np.sin(ang)
+    for iy in range(h):
+        y = iy - shiftyc
+        ycang = y * cang / scale + yc
+        ysang = -y * sang / scale + xc
+        for ix in range(w):
+            x = ix - shiftxc
+            xold = x * cang / scale + ysang
+            yold = x * sang / scale + ycang
+            out[iy, ix] = quadri_np(img, yold + 1.0, xold + 1.0, iy + 1, ix + 1)
+    return out
+
+
+def mirror_flip_np(img: np.ndarray) -> np.ndarray:
+    """Post-transform mirror of the notebook wrapper: flip columns from
+    ``start = 1 - h % 2`` on."""
+    h = img.shape[0]
+    start = 1 - h % 2
+    out = img.copy()
+    out[:, start:] = out[:, start:][:, ::-1]
+    return out
