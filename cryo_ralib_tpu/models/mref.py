@@ -1,0 +1,188 @@
+"""Multireference 2D alignment driver.
+
+TPU rewrite of ``mref_ali2d_gpu`` (test_mref_gpu_align.py:222-612) — the
+reference's primary workload: K references, every particle aligned against
+all of them with mirror + shift-grid search, class assignment by the ccf
+argmax, even/odd class sums, vanished-class reseeding, per-class FSC
+averaged across classes, ``ref_ali2d`` filtering, per-iteration
+``aqm%03d.hdf`` class averages and ``drm%03d%04d.txt`` FSC files, final
+header-convention parameter decode.
+
+Design notes vs the reference:
+* no ctypes/batch-size search/unified-memory plumbing — the fused jitted
+  step with a sharded particle axis covers the whole GPU+MPI stack;
+* assignments never leave the device except as the final (N,) int array;
+* ``rand_seed`` drives the vanished-class reseeding RNG exactly like
+  ``seed(rand_seed)`` + ``randint`` (test_mref_gpu_align.py:358,524).
+"""
+
+from __future__ import annotations
+
+import os
+import random as _random
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config import AlignConfig
+from ..params import AlignParams, params_table
+from ..ops.fsc import fsc, write_fsc
+from ..ops.masks import model_circle, normalize_mask
+from ..io.eman_hdf import write_image
+from ..io.star import write_text_row
+from ..parallel.mesh import shard_stack
+from ..utils.log import RunLogger
+from .steps import make_align_step
+from .user_functions import factory
+
+
+@dataclass
+class MrefResult:
+    params: np.ndarray            # (N, 4) header convention [alpha, sx, sy, mirror]
+    assignments: np.ndarray       # (N,) class ids
+    references: np.ndarray        # (K, H, W) final references
+    class_counts: np.ndarray      # (K,) final member counts
+    members: list = field(default_factory=list)  # per-class particle id lists
+    iterations: int = 0
+
+
+def mref_ali2d_tpu(
+    images: np.ndarray,
+    refs: np.ndarray,
+    outdir: str | None = None,
+    maskfile: np.ndarray | None = None,
+    ir: int = 1,
+    ou: int = -1,
+    rs: int = 1,
+    xr: float = 0.0,
+    yr: float = 0.0,
+    ts: float = 1.0,
+    center: int = -1,
+    maxit: int = 0,
+    CTF: bool = False,
+    snr: float = 1.0,
+    user_func_name: str = "ref_ali2d",
+    rand_seed: int = 1000,
+    log: RunLogger | None = None,
+    mesh=None,
+    shift_chunk: int = 8,
+) -> MrefResult:
+    """Multireference-align ``images`` against ``refs``.
+
+    Flags mirror the reference CLI (test_mref_gpu_align.py:1142-1159).
+    Note the reference GPU config uses ``xr`` for both shift axes even when
+    ``--yr`` is given (test_mref_gpu_align.py:365-369); we honor ``yr``
+    when it differs, falling back to the reference behavior for yr<0.
+    """
+    log = log or RunLogger(outdir)
+    user_func = factory[user_func_name]
+
+    n, ny, nx = images.shape
+    assert nx == ny, "images are assumed square"
+    numref = refs.shape[0]
+    last_ring = int(ou) if int(ou) != -1 else nx // 2 - 2
+    max_iter = int(maxit) if int(maxit) else 10
+    if yr is None or yr < 0:
+        yr = xr
+
+    cfg = AlignConfig(img_dim=nx, ring_num=last_ring, ring_len=256,
+                      shift_step=float(ts), shift_rng_x=float(xr),
+                      shift_rng_y=float(yr))
+
+    mask = maskfile if maskfile is not None else model_circle(last_ring, nx)
+    mask_j = jnp.asarray(mask)
+
+    # preprocessing — note the EMAN2 normalize.mask semantics (the
+    # reference's inline comments have them swapped): refs get no_sigma=1
+    # (mean-subtract only), particles no_sigma=0 (scaled to N(0,1) under
+    # the mask); test_mref_gpu_align.py:336,342.
+    refi = np.asarray(normalize_mask(jnp.asarray(refs), mask_j, no_sigma=True),
+                      np.float32)
+    data = np.asarray(normalize_mask(jnp.asarray(images), mask_j,
+                                     no_sigma=False), np.float32)
+
+    rng = _random.Random(rand_seed)
+
+    imgs_dev, gidx, valid = shard_stack(data, mesh)
+    params = AlignParams.zeros(imgs_dev.shape[0])
+    step = make_align_step(cfg, n_classes=numref, shift_chunk=shift_chunk,
+                           update_ref=True, mesh=mesh)
+
+    counts = np.zeros(numref, np.int64)
+    assign: np.ndarray = np.zeros(n, np.int64)
+    members: list = [[] for _ in range(numref)]
+
+    for it in range(max_iter):
+        out = step(imgs_dev, jnp.asarray(refi), params, gidx, valid)
+        params = out.params
+        sums = np.asarray(out.class_sums)      # (K, 2, H, W)
+        counts = np.asarray(out.counts, np.int64)
+        assign = np.asarray(params.ref_id)[:n]
+        members = [list(np.nonzero(assign == j)[0]) for j in range(numref)]
+
+        # ---- reference update (rank-0 logic in the original,
+        #      test_mref_gpu_align.py:517-564)
+        ave_fsc = None
+        c_fsc = 0
+        frsc = None
+        new_refs = np.empty_like(refi)
+        vanished = []
+        for j in range(numref):
+            if counts[j] < 4:
+                # vanished class: reseed with a random particle
+                pick = rng.randint(0, n - 1)
+                members[j] = [pick]
+                new_refs[j] = data[pick]
+                vanished.append(j)
+            else:
+                cur = fsc(sums[j, 0], sums[j, 1], 1.0)
+                if outdir:
+                    write_fsc(os.path.join(outdir, "drm%03d%04d.txt" % (it, j)),
+                              *cur)
+                new_refs[j] = (sums[j, 0] + sums[j, 1]) / float(counts[j])
+                if ave_fsc is None:
+                    ave_fsc = np.array(cur[1], np.float64)
+                    c_fsc = 1
+                else:
+                    ave_fsc += np.asarray(cur[1])
+                    c_fsc += 1
+                frsc = cur
+        if ave_fsc is not None and ave_fsc.sum() != 0:
+            ave_fsc /= float(c_fsc)
+            frsc = (frsc[0], ave_fsc, frsc[2])
+
+        refim = os.path.join(outdir, "aqm%03d.hdf" % it) if outdir else None
+        for j in range(numref):
+            if frsc is not None:
+                filtered, _cs = user_func([mask, center, new_refs[j], frsc])
+            else:
+                filtered = new_refs[j]
+            filtered = np.asarray(normalize_mask(
+                jnp.asarray(filtered), mask_j, no_sigma=True), np.float32)
+            new_refs[j] = filtered
+            if refim:
+                write_image(refim, filtered, j, header={
+                    "ave_n": int(counts[j]),
+                    "members": sorted(float(m) for m in members[j]),
+                })
+        refi = new_refs
+
+        log.add("ITERATION #%3d" % (it + 1))
+        for j in range(numref):
+            log.add("   group #%3d   number of particles = %7d"
+                    % (j, int(counts[j])))
+        if vanished:
+            log.add("   reseeded vanished classes: %s" % vanished)
+
+    # ---- final params in header convention (the "usually done in ormq()"
+    # decode, test_mref_gpu_align.py:578-588)
+    final = AlignParams(*[np.asarray(f)[:n] for f in params])
+    table = params_table(final)
+    if outdir:
+        write_text_row(table, os.path.join(outdir, "final2Dparams.txt"))
+    log.add("Finished mref_ali2d")
+    return MrefResult(params=table, assignments=assign, references=refi,
+                      class_counts=counts, members=members,
+                      iterations=max_iter)

@@ -1,0 +1,197 @@
+"""Reference-free 2D alignment driver (``ali2d`` / ISAC pre-alignment).
+
+TPU rewrite of ``ali2d_base_gpu_isac_CLEAN``
+(test_reffree_gpu_align.py:153-577): iteratively aligns every particle to
+the running global average with the full rotation/shift/mirror search,
+with FSC-driven tangent filtering, average centering, the ``a1`` dot
+criterion, per-iteration QC (pixel error / mirror consistency) and the
+same output artifacts (``aqc.hdf``, ``aqf.hdf``, ``aqfinal.hdf``,
+``resolution%03d``, ``initial2Dparams.txt``).
+
+Differences from the reference, by design:
+* one jitted device step replaces the GPU-batch loop + MPI reduces; the
+  mesh's data-parallel all-reduce *is* ``reduce_EMData_to_root``;
+* the auto-stop criterion actually breaks the loop (the reference's CLEAN
+  GPU variant computes ``again`` but never acts on it — we follow the CPU
+  ``ali2d_base`` intent);
+* host work per iteration is only the (H, W)-sized average conditioning.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..config import AlignConfig
+from ..params import AlignParams, params_table, pixel_error_2D
+from ..ops.filters import fshift
+from ..ops.fsc import fsc_mask, write_fsc
+from ..ops.masks import infomask, model_circle
+from ..io.eman_hdf import write_image
+from ..io.star import write_text_row
+from ..parallel.mesh import shard_stack
+from ..utils.log import RunLogger
+from .steps import make_align_step, raw_sum_step
+from .user_functions import factory
+
+
+@dataclass
+class RefFreeResult:
+    params: np.ndarray          # (N, 4) [alpha, sx, sy, mirror] header convention
+    average: np.ndarray         # final filtered average
+    criteria: list = field(default_factory=list)
+    pixel_errors: list = field(default_factory=list)
+    mirror_consistency: list = field(default_factory=list)
+    iterations: int = 0
+
+
+def ali2d_base_tpu(
+    images: np.ndarray,
+    outdir: str | None = None,
+    maskfile: np.ndarray | None = None,
+    ir: int = 1,
+    ou: int = -1,
+    rs: int = 1,
+    xr: float = 4.0,
+    yr: float = -1.0,
+    ts: float = 2.0,
+    center: int = -1,
+    maxit: int = 0,
+    CTF: bool = False,
+    snr: float = 1.0,
+    user_func_name: str = "ref_ali2d",
+    random_method: str = "",
+    log: RunLogger | None = None,
+    mesh=None,
+    shift_chunk: int = 8,
+) -> RefFreeResult:
+    """Align a particle stack to its iteratively refined global average.
+
+    Args mirror the reference CLI flags (test_reffree_gpu_align.py:915-935);
+    ``yr < 0`` means "use xr" like the reference GPU config which passes
+    ``xrng[0]`` for both axes (test_reffree_gpu_align.py:318).
+    """
+    log = log or RunLogger(outdir)
+    user_func = factory[user_func_name]
+
+    n, ny, nx = images.shape
+    assert nx == ny, "images are assumed square"
+    last_ring = int(ou) if int(ou) != -1 else nx // 2 - 2
+    if yr is None or yr < 0:
+        yr = xr
+    max_iter = int(maxit) if int(maxit) else 10
+    auto_stop = int(maxit) == 0
+
+    cfg = AlignConfig(img_dim=nx, ring_num=last_ring, ring_len=256,
+                      shift_step=float(ts), shift_rng_x=float(xr),
+                      shift_rng_y=float(xr))
+
+    mask = maskfile if maskfile is not None else model_circle(last_ring, nx)
+    mask_j = jnp.asarray(mask)
+
+    # preprocessing: subtract the mean under the mask
+    # (Util.infomask + "data[im] -= st[0]", test_reffree_gpu_align.py:276-278)
+    mean, _sigma = infomask(jnp.asarray(images), mask_j)
+    data = np.asarray(jnp.asarray(images) - mean[:, None, None], np.float32)
+
+    imgs_dev, gidx, valid = shard_stack(data, mesh)
+    params = AlignParams.zeros(imgs_dev.shape[0])
+    step = make_align_step(cfg, n_classes=1, shift_chunk=shift_chunk,
+                           update_ref=False, mesh=mesh)
+
+    result = RefFreeResult(params=np.zeros((n, 4)), average=np.zeros((nx, nx)))
+    a0 = -1.0e22
+    sx_sum = 0.0
+    sy_sum = 0.0
+    sums = None
+    tavg = np.zeros((nx, nx), np.float32)
+    total_iter = 0
+
+    for it in range(max_iter):
+        total_iter += 1
+        # ---- build the new average from the previous iteration's sums
+        if sums is None:
+            sums = np.asarray(raw_sum_step(imgs_dev, gidx, valid, n_classes=1))
+        ave1, ave2 = sums[0, 0], sums[0, 1]
+        tavg = ((ave1 + ave2) / n).astype(np.float32)
+
+        log.add("Iteration #%4d" % total_iter)
+        log.add("X range = %5.2f   Y range = %5.2f   Step = %5.2f"
+                % (xr, xr, ts))
+
+        if outdir:
+            write_image(os.path.join(outdir, "aqc.hdf"), tavg, total_iter - 1)
+            frsc = fsc_mask(ave1, ave2, mask, 1.0)
+            write_fsc(os.path.join(outdir, "resolution%03d" % total_iter), *frsc)
+        else:
+            frsc = fsc_mask(ave1, ave2, mask, 1.0)
+
+        # ---- stopping criterion on the unfiltered average
+        # (EMAN2 "dot" cmp with negative=0 under the mask,
+        #  test_reffree_gpu_align.py:394)
+        a1 = float(np.sum(tavg * tavg * mask))
+        log.add("Criterion %d = %15.8e" % (total_iter, a1))
+        result.criteria.append(a1)
+
+        # ---- user function: tangent filter (+ centering)
+        again = True
+        cs = [0.0, 0.0]
+        if center == -1:
+            tavg_f, cs = user_func([mask, 0, tavg, frsc])
+            cs = [float(sx_sum) / n, float(sy_sum) / n]
+            tavg_f = np.asarray(fshift(jnp.asarray(tavg_f), -cs[0], -cs[1]))
+            log.add("Average center x = %10.3f        Center y = %10.3f"
+                    % (cs[0], cs[1]))
+        else:
+            tavg_f, cs = user_func([mask, center, tavg, frsc])
+        tavg = np.asarray(tavg_f, np.float32)
+        if outdir:
+            write_image(os.path.join(outdir, "aqf.hdf"), tavg, total_iter - 1)
+        if a1 < a0:
+            if auto_stop:
+                again = False
+        else:
+            a0 = a1
+        if not again:
+            break
+
+        # ---- alignment against the new average
+        # (snapshot the previous params before the donated buffer is reused)
+        old_tab = params_table(
+            AlignParams(*[np.asarray(f)[:n] for f in params]))
+        out = step(imgs_dev, jnp.asarray(tavg)[None], params, gidx, valid)
+        params = out.params
+        sums = np.asarray(out.class_sums)
+        sx_sum = float(out.sx_sum)
+        sy_sum = float(out.sy_sum)
+
+        # ---- QC: pixel error / mirror consistency vs previous params
+        # (test_reffree_gpu_align.py:527-538)
+        new_tab = params_table(
+            AlignParams(*[np.asarray(f)[:n] for f in params]))
+        consistent = old_tab[:, 3] == new_tab[:, 3]
+        errs = np.asarray(pixel_error_2D(
+            (old_tab[:, 0], old_tab[:, 1], old_tab[:, 2]),
+            (new_tab[:, 0], new_tab[:, 1], new_tab[:, 2]), last_ring))
+        n_cons = int(consistent.sum())
+        result.mirror_consistency.append(n_cons / n)
+        result.pixel_errors.append(
+            float(errs[consistent].sum() / max(n_cons, 1)))
+        log.add("Mirror consistency %6.2f%%, mean pixel error %.4f"
+                % (100.0 * n_cons / n, result.pixel_errors[-1]))
+
+    if outdir:
+        write_image(os.path.join(outdir, "aqfinal.hdf"), tavg, 0)
+
+    result.average = tavg
+    result.iterations = total_iter
+    final = AlignParams(*[np.asarray(f)[:n] for f in params])
+    result.params = params_table(final)
+    if outdir:
+        write_text_row(result.params, os.path.join(outdir, "initial2Dparams.txt"))
+    log.add("Finished ali2d_base")
+    return result

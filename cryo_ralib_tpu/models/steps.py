@@ -1,0 +1,105 @@
+"""Jitted per-iteration alignment steps.
+
+Each step fuses the reference's per-GPU-batch sequence — polar resample
+over the shift grid, ring-FFT ccf with mirror, argmax + decode, transform,
+even/odd class sums (``mref_align_run`` + ``kernel_sum_oe``,
+cuda/gpu_aln_noref.cu:389-416 + test_mref_gpu_align.py:48-80) — into one
+XLA program.  Under a sharded-input jit the particle axis is data-parallel
+across the mesh and the (K, 2, H, W) class sums / counts come out
+replicated (XLA inserts the psum — the TPU equivalent of the reference's
+``reduce_EMData_to_root`` + ``bcast_EMData_to_all``, SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AlignConfig
+from ..params import AlignParams, gpu_params_to_align2d
+from ..ops.classavg import class_sum_oe
+from ..ops.search import decode_params, prepare_ref_spectra, rotational_shift_search
+from ..ops.transform import transform_batch
+
+
+class StepOutput(NamedTuple):
+    params: AlignParams
+    class_sums: jax.Array   # (K, 2, H, W)
+    counts: jax.Array       # (K,) int32
+    peak: jax.Array         # (N,) best ccf value (diagnostic)
+    sx_sum: jax.Array       # () mirror-aware sum of header x-shifts
+    sy_sum: jax.Array       # () sum of header y-shifts
+
+
+def _header_shift_sums(params: AlignParams, valid):
+    """Average-centering accumulators: decoded header shifts summed with the
+    mirror-aware x sign (test_reffree_gpu_align.py:500-517)."""
+    sx, sy = gpu_params_to_align2d(params.angle, params.shift_x, params.shift_y)
+    sgn = jnp.where(params.mirror == 1, -1.0, 1.0)
+    if valid is not None:
+        sgn = sgn * valid
+        sy = sy * valid
+    return jnp.sum(sx * sgn), jnp.sum(sy)
+
+
+def align_step(images, refs, params: AlignParams, global_index, valid,
+               cfg: AlignConfig, *, n_classes: int, shift_chunk: int = 8,
+               update_ref: bool = True) -> StepOutput:
+    """One alignment iteration over one resident batch (trace-level fn).
+
+    Args:
+      images: (N, H, W) preprocessed particles.
+      refs:   (K, H, W) current references.
+      params: AlignParams carried across iterations (shifts accumulate).
+      global_index: (N,) int32 global particle ids (even/odd parity).
+      valid:  (N,) float 0/1 padding mask (or None).
+      cfg:    static AlignConfig.
+      n_classes: static K (must equal refs.shape[0]).
+      update_ref: False for the single-reference (reffree) path.
+    """
+    ref_fw = prepare_ref_spectra(refs, cfg)
+    result = rotational_shift_search(images, ref_fw, params, cfg,
+                                     shift_chunk=shift_chunk)
+    new_params = decode_params(result, params, cfg, update_ref=update_ref)
+    transformed = transform_batch(images, new_params)
+    sums, counts = class_sum_oe(transformed, new_params.ref_id, n_classes,
+                                global_index=global_index, valid=valid)
+    sx_sum, sy_sum = _header_shift_sums(new_params, valid)
+    peak = jnp.where(valid > 0, result.best_val, 0.0) if valid is not None else result.best_val
+    return StepOutput(new_params, sums, counts, peak, sx_sum, sy_sum)
+
+
+def raw_sum_step(images, global_index, valid, *, n_classes: int = 1):
+    """Even/odd sums of the *raw* stack — iteration 0 of the reffree loop
+    (``statistics.sum_oe``, test_reffree_gpu_align.py:363-365)."""
+    ref_id = jnp.zeros((images.shape[0],), jnp.int32)
+    sums, _ = class_sum_oe(images, ref_id, n_classes,
+                           global_index=global_index, valid=valid)
+    return sums
+
+
+def make_align_step(cfg: AlignConfig, n_classes: int, shift_chunk: int = 8,
+                    update_ref: bool = True, mesh=None, donate: bool = True):
+    """Build the jitted step, optionally sharded over a mesh's 'dp' axis.
+
+    With a mesh, images/params/global_index/valid are sharded over
+    particles and the class sums/counts/scalars are replicated outputs —
+    GSPMD turns the one-hot matmul reduction into an all-reduce over ICI.
+    """
+    fn = partial(align_step, cfg=cfg, n_classes=n_classes,
+                 shift_chunk=shift_chunk, update_ref=update_ref)
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+        param_shard = AlignParams(shard, shard, shard, shard, shard)
+        kwargs["in_shardings"] = (shard, repl, param_shard, shard, shard)
+        kwargs["out_shardings"] = StepOutput(param_shard, repl, repl, shard, repl, repl)
+    if donate:
+        kwargs["donate_argnums"] = (2,)  # params buffer
+    return jax.jit(fn, **kwargs)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 
-def class_sum_oe(images, ref_id, n_classes: int, global_index=None):
+def class_sum_oe(images, ref_id, n_classes: int, global_index=None, valid=None):
     """Per-class even/odd image sums and member counts.
 
     Args:
@@ -28,6 +28,8 @@ def class_sum_oe(images, ref_id, n_classes: int, global_index=None):
       n_classes: static K.
       global_index: (N,) int32 global particle indices for parity;
         defaults to arange(N).
+      valid: optional (N,) 0/1 mask excluding padding particles (stacks
+        padded up to a multiple of the device-mesh size).
 
     Returns:
       sums:   (K, 2, H, W) float32 — [:, 0] even-parity sum, [:, 1] odd.
@@ -40,11 +42,13 @@ def class_sum_oe(images, ref_id, n_classes: int, global_index=None):
     parity = jnp.asarray(global_index, jnp.int32) % 2
     slot = ref_id * 2 + parity  # (N,) in [0, 2K)
     onehot = jax.nn.one_hot(slot, n_classes * 2, dtype=images.dtype)
+    class_onehot = jax.nn.one_hot(ref_id, n_classes, dtype=jnp.int32)
+    if valid is not None:
+        onehot = onehot * jnp.asarray(valid, images.dtype)[:, None]
+        class_onehot = class_onehot * jnp.asarray(valid, jnp.int32)[:, None]
     # HIGHEST: class sums must accumulate in f32 on the MXU — the default
     # TPU bf16 passes visibly perturb the averages
     sums = jnp.einsum("nc,nhw->chw", onehot, images,
                       precision=jax.lax.Precision.HIGHEST)
-    counts = jnp.sum(
-        jax.nn.one_hot(ref_id, n_classes, dtype=jnp.int32), axis=0
-    )
+    counts = jnp.sum(class_onehot, axis=0)
     return sums.reshape(n_classes, 2, h, w), counts

@@ -44,9 +44,15 @@ class AlignParams(NamedTuple):
     def zeros(n: int, ref_id: jax.Array | int = 0) -> "AlignParams":
         """Fresh params; matches ``pre_align_init`` which presets ref_id
         (cuda/gpu_aln_noref.cu:188-232)."""
-        rid = jnp.broadcast_to(jnp.asarray(ref_id, jnp.int32), (n,))
-        z = jnp.zeros((n,), jnp.float32)
-        return AlignParams(z, z, z, jnp.zeros((n,), jnp.int32), rid)
+        # distinct buffers per field: donated jit args must not alias
+        rid = jnp.zeros((n,), jnp.int32) + jnp.asarray(ref_id, jnp.int32)
+        return AlignParams(
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.float32),
+            jnp.zeros((n,), jnp.int32),
+            rid,
+        )
 
     def to_numpy(self) -> dict:
         return {
