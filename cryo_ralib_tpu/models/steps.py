@@ -97,8 +97,14 @@ def make_align_step(cfg: AlignConfig, n_classes: int, shift_chunk: int = 8,
 
         shard = NamedSharding(mesh, P("dp"))
         repl = NamedSharding(mesh, P())
+        # Large-K path (SURVEY.md §5): on a 2-D ('dp', 'ref') mesh the
+        # reference stack is sharded over its class axis; GSPMD turns the
+        # per-particle argmax over all K into the all-gather of ref ring
+        # spectra described in SURVEY.md §2.3.
+        ref_shard = (NamedSharding(mesh, P("ref"))
+                     if "ref" in mesh.axis_names else repl)
         param_shard = AlignParams(shard, shard, shard, shard, shard)
-        kwargs["in_shardings"] = (shard, repl, param_shard, shard, shard)
+        kwargs["in_shardings"] = (shard, ref_shard, param_shard, shard, shard)
         kwargs["out_shardings"] = StepOutput(param_shard, repl, repl, shard, repl, repl)
     if donate:
         kwargs["donate_argnums"] = (2,)  # params buffer

@@ -19,13 +19,18 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .dft import irfft_mm, rfft_mm
+
 
 def ring_spectra(polar):
     """rFFT along the angular axis: (..., R, L) -> (..., R, L//2+1) complex64.
 
-    Matches cuFFT R2C (unnormalized forward, cuda/gpu_aln_noref.cu:1816-1820).
+    Matches cuFFT R2C (unnormalized forward, cuda/gpu_aln_noref.cu:1816-1820)
+    numerically, computed as an MXU matmul DFT (see ops/dft.py — the axon
+    TPU backend has no FFT custom call, and the matmul form fuses better
+    anyway).
     """
-    return jnp.fft.rfft(polar, axis=-1)
+    return rfft_mm(polar, axis=-1)
 
 
 def weight_ring_spectra(ref_f, ring_weights):
@@ -87,8 +92,8 @@ def ccf_rows(orig_f, mirr_f, ring_len: int):
     (``CcfResultTable``, cuda/gpu_aln_noref.cu:2172-2178).
 
     Note: cuFFT C2R is unnormalized (values L x larger); we use the
-    normalized irfft — a positive scale that cannot change any argmax or
+    normalized inverse — a positive scale that cannot change any argmax or
     the parabolic peak offset.
     """
     stacked = jnp.stack([orig_f, mirr_f], axis=1)  # (N, 2, C, K, F)
-    return jnp.fft.irfft(stacked, n=ring_len, axis=-1)
+    return irfft_mm(stacked, n=ring_len, axis=-1)

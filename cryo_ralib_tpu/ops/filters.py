@@ -7,13 +7,16 @@ cuda/gpu_aln_noref.cu:786-816), ``fshift`` (sub-pixel Fourier shift used
 for average-centering, test_reffree_gpu_align.py:407), and a Butterworth
 low-pass (``filt_btwl``, imported by the mref drivers).
 
-All operate on (..., H, W) real batches via rfft2 and are jit/vmap safe.
+All operate on (..., H, W) real batches via matmul-DFT rfft2 (ops/dft.py
+— no FFT custom call on the axon TPU backend) and are jit/vmap safe.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
+
+from .dft import irfft2_mm, rfft2_mm
 
 
 def _freq_grid(h: int, w: int):
@@ -45,8 +48,8 @@ def filt_tanl(img, cutoff: float, falloff: float):
     img = jnp.asarray(img)
     h, w = img.shape[-2:]
     resp = jnp.asarray(tanl_response(_freq_grid(h, w), cutoff, falloff))
-    f = jnp.fft.rfft2(img)
-    return jnp.fft.irfft2(f * resp, s=(h, w)).astype(img.dtype)
+    f = rfft2_mm(img)
+    return irfft2_mm(f * resp, s=(h, w)).astype(img.dtype)
 
 
 def filt_btwl(img, freq_low: float, freq_high: float):
@@ -61,8 +64,8 @@ def filt_btwl(img, freq_low: float, freq_high: float):
     rad = freq_low / (eps ** (2.0 / order))
     freq = _freq_grid(h, w)
     resp = (1.0 / np.sqrt(1.0 + (freq / rad) ** order)).astype(np.float32)
-    f = jnp.fft.rfft2(img)
-    return jnp.fft.irfft2(f * jnp.asarray(resp), s=(h, w)).astype(img.dtype)
+    f = rfft2_mm(img)
+    return irfft2_mm(f * jnp.asarray(resp), s=(h, w)).astype(img.dtype)
 
 
 def fshift(img, sx, sy):
@@ -81,5 +84,5 @@ def fshift(img, sx, sy):
         fy[:, None] * sy[..., None, None] + fx[None, :] * sx[..., None, None]
     )
     ramp = jnp.cos(phase) + 1j * jnp.sin(phase)
-    f = jnp.fft.rfft2(img)
-    return jnp.fft.irfft2(f * ramp, s=(h, w)).astype(img.dtype)
+    f = rfft2_mm(img)
+    return irfft2_mm(f * ramp, s=(h, w)).astype(img.dtype)

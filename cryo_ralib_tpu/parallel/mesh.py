@@ -27,6 +27,17 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), ("dp",))
 
 
+def make_mesh_2d(dp: int, ref: int, devices=None) -> Mesh:
+    """2-D ('dp', 'ref') mesh: particles sharded over 'dp', the reference
+    axis over 'ref' — the large-K path of SURVEY.md §5 where the per-chip
+    ccf works on a K/ref_shards slice and GSPMD all-gathers the winning
+    slice statistics.  With ref=1 this degenerates to the 1-D dp mesh."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: dp * ref]).reshape(dp, ref)
+    return Mesh(devices, ("dp", "ref"))
+
+
 def particle_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp"))
 
@@ -53,7 +64,7 @@ def shard_stack(images: np.ndarray, mesh: Mesh | None):
     if mesh is None:
         gidx = jnp.arange(n, dtype=jnp.int32)
         return jnp.asarray(images), gidx, jnp.ones((n,), jnp.float32)
-    d = mesh.size
+    d = mesh.shape["dp"]
     n_pad = pad_to_multiple(n, d)
     if n_pad != n:
         images = np.concatenate(
