@@ -33,7 +33,7 @@ from cryo_ralib_tpu.params import AlignParams
 
 NX = 90
 K = 8
-N_DEV = 512   # raise once the matmul-sampling fast path lands
+N_DEV = 4096
 N_CPU = 64
 CFG = AlignConfig(img_dim=NX, ring_num=36, ring_len=256,
                   shift_step=1.0, shift_rng_x=3.0, shift_rng_y=3.0)
@@ -61,7 +61,8 @@ def _time_step(device, n, shift_chunk, reps):
             np.zeros(n, np.int32)), device)
 
     fn = jax.jit(partial(align_step, cfg=CFG, n_classes=K,
-                         shift_chunk=shift_chunk, update_ref=True))
+                         shift_chunk=shift_chunk, update_ref=True,
+                         sampler="auto"))
     # NB: on the tunneled TPU platform block_until_ready returns without
     # blocking; a host fetch is the only reliable completion barrier.
     np.asarray(fn(images, refs, fresh_params(), gidx, valid).counts)

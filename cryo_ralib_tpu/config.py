@@ -80,15 +80,26 @@ class AlignConfig:
         return np.stack([x, y], axis=-1).astype(np.float32)
 
     @cached_property
+    def shift_x_vals(self) -> np.ndarray:
+        """Distinct x shifts of the search grid, ascending."""
+        return np.asarray(_inclusive_range(self.shift_rng_x, self.shift_step),
+                          np.float32)
+
+    @cached_property
+    def shift_y_vals(self) -> np.ndarray:
+        """Distinct y shifts of the search grid, ascending."""
+        return np.asarray(_inclusive_range(self.shift_rng_y, self.shift_step),
+                          np.float32)
+
+    @cached_property
     def shifts(self) -> np.ndarray:
         """(S, 2) array of (sx, sy) global search shifts.
 
         Cartesian grid [-xr..xr] x [-yr..yr] in steps of ``shift_step``,
-        x-major like ``generate_shift_array`` (cuda/gpu_aln_common.cu:64-84).
+        x-major like ``generate_shift_array`` (cuda/gpu_aln_common.cu:64-84):
+        global index = xi * len(shift_y_vals) + yi.
         """
-        sx = _inclusive_range(self.shift_rng_x, self.shift_step)
-        sy = _inclusive_range(self.shift_rng_y, self.shift_step)
-        grid = [(x, y) for x in sx for y in sy]
+        grid = [(x, y) for x in self.shift_x_vals for y in self.shift_y_vals]
         return np.asarray(grid, dtype=np.float32).reshape(-1, 2)
 
     @property

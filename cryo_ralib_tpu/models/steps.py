@@ -21,8 +21,9 @@ import jax.numpy as jnp
 from ..config import AlignConfig
 from ..params import AlignParams, gpu_params_to_align2d
 from ..ops.classavg import class_sum_oe
-from ..ops.search import decode_params, prepare_ref_spectra, rotational_shift_search
-from ..ops.transform import transform_batch
+from ..ops.search import (decode_params, prepare_ref_spectra,
+                          rotational_shift_search, rotational_shift_search_mm)
+from ..ops.transform import transform_batch, transform_batch_mm
 
 
 class StepOutput(NamedTuple):
@@ -47,7 +48,8 @@ def _header_shift_sums(params: AlignParams, valid):
 
 def align_step(images, refs, params: AlignParams, global_index, valid,
                cfg: AlignConfig, *, n_classes: int, shift_chunk: int = 8,
-               update_ref: bool = True) -> StepOutput:
+               update_ref: bool = True, sampler: str = "auto",
+               fast: bool = True) -> StepOutput:
     """One alignment iteration over one resident batch (trace-level fn).
 
     Args:
@@ -59,12 +61,25 @@ def align_step(images, refs, params: AlignParams, global_index, valid,
       cfg:    static AlignConfig.
       n_classes: static K (must equal refs.shape[0]).
       update_ref: False for the single-reference (reffree) path.
+      sampler: "matmul" = gather-free tent-matmul sampling (the TPU fast
+        path, ops/polar_mm.py), "gather" = exact texture-semantics
+        bilinear gather (fast on CPU), "auto" = pick by backend.
+      fast: bf16 MXU mode for the matmul sampler.
     """
+    if sampler == "auto":
+        sampler = "matmul" if jax.default_backend() == "tpu" else "gather"
     ref_fw = prepare_ref_spectra(refs, cfg)
-    result = rotational_shift_search(images, ref_fw, params, cfg,
-                                     shift_chunk=shift_chunk)
+    if sampler == "matmul":
+        result = rotational_shift_search_mm(images, ref_fw, params, cfg,
+                                            fast=fast)
+    else:
+        result = rotational_shift_search(images, ref_fw, params, cfg,
+                                         shift_chunk=shift_chunk)
     new_params = decode_params(result, params, cfg, update_ref=update_ref)
-    transformed = transform_batch(images, new_params)
+    if sampler == "matmul":
+        transformed = transform_batch_mm(images, new_params)
+    else:
+        transformed = transform_batch(images, new_params)
     sums, counts = class_sum_oe(transformed, new_params.ref_id, n_classes,
                                 global_index=global_index, valid=valid)
     sx_sum, sy_sum = _header_shift_sums(new_params, valid)
@@ -82,7 +97,8 @@ def raw_sum_step(images, global_index, valid, *, n_classes: int = 1):
 
 
 def make_align_step(cfg: AlignConfig, n_classes: int, shift_chunk: int = 8,
-                    update_ref: bool = True, mesh=None, donate: bool = True):
+                    update_ref: bool = True, mesh=None, donate: bool = True,
+                    sampler: str = "auto", fast: bool = True):
     """Build the jitted step, optionally sharded over a mesh's 'dp' axis.
 
     With a mesh, images/params/global_index/valid are sharded over
@@ -90,7 +106,8 @@ def make_align_step(cfg: AlignConfig, n_classes: int, shift_chunk: int = 8,
     GSPMD turns the one-hot matmul reduction into an all-reduce over ICI.
     """
     fn = partial(align_step, cfg=cfg, n_classes=n_classes,
-                 shift_chunk=shift_chunk, update_ref=update_ref)
+                 shift_chunk=shift_chunk, update_ref=update_ref,
+                 sampler=sampler, fast=fast)
     kwargs = {}
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -32,6 +32,7 @@ from ..config import AlignConfig
 from ..params import AlignParams
 from .ccf import ccf_rows, ccf_spectra, ccf_spectra_per_particle_ref, ring_spectra, weight_ring_spectra
 from .polar import polar_resample
+from .polar_mm import PolarTables, build_polar_tables, polar_group_mm, translate_bilinear_mm
 
 _NEG_INF = -3.0e38
 
@@ -128,42 +129,120 @@ def rotational_shift_search(
         else:
             orig_f, mirr_f = ccf_spectra(sbj_f, ref_fw)
         rows = ccf_rows(orig_f, mirr_f, ring_len)  # (N, 2, C, K, L)
-        k = rows.shape[3]
         rows = rows + chunk_mask[None, None, :, None, None]
-
-        flat = rows.reshape(n, -1)
-        idx = jnp.argmax(flat, axis=1)
-        val = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
-
-        # decompose flat index ordered (mirror, chunk_pos, ref, angle)
-        aidx = idx % ring_len
-        rest = idx // ring_len
-        ridx = rest % k
-        rest = rest // k
-        cidx = rest % chunk
-        midx = rest // chunk
-
-        row = jnp.take_along_axis(
-            rows.reshape(n, 2 * chunk * k, ring_len), (idx // ring_len)[:, None, None], axis=1
-        )[:, 0, :]
-
-        # strict '>' keeps the first-seen maximum across chunks, matching the
-        # left-to-right tie behavior of the reference row scan
-        better = val > carry.best_val
-        sel_i = lambda new, old: jnp.where(better, new.astype(jnp.int32), old)
-        new_carry = SearchResult(
-            best_val=jnp.where(better, val, carry.best_val),
-            best_row=jnp.where(better[:, None], row, carry.best_row),
-            best_aidx=sel_i(aidx, carry.best_aidx),
-            best_sidx=sel_i(chunk_idx * chunk + cidx, carry.best_sidx),
-            best_ref=sel_i(ridx, carry.best_ref),
-            best_mirror=sel_i(midx, carry.best_mirror),
-        )
-        return new_carry, None
+        global_sidx = chunk_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        return _update_best(carry, rows, global_sidx), None
 
     xs = (jnp.arange(n_chunks, dtype=jnp.int32), shifts_dev, mask_dev)
     if n_chunks == 1:
         result, _ = body(init, (jnp.int32(0), shifts_dev[0], mask_dev[0]))
+    else:
+        result, _ = jax.lax.scan(body, init, xs)
+    return result
+
+
+def _update_best(carry: SearchResult, rows, global_sidx) -> SearchResult:
+    """Fold one chunk of ccf rows into the running per-particle best.
+
+    ``rows``: (N, 2, C, K, L) ordered [orig, mirr] / chunk-candidate /
+    ref / angle; ``global_sidx``: (C,) int32 map from chunk candidate to
+    the global shift-grid index.  Flat argmax order (mirror, shift, ref,
+    angle) matches the reference table layout (cuda/gpu_aln_noref.cu:
+    2172-2178); strict '>' keeps the first-seen maximum across chunks,
+    matching the left-to-right tie behavior of the reference row scan.
+    """
+    n, _, chunk, k, ring_len = rows.shape
+    flat = rows.reshape(n, -1)
+    idx = jnp.argmax(flat, axis=1)
+    val = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+
+    # decompose flat index ordered (mirror, chunk_pos, ref, angle)
+    aidx = (idx % ring_len).astype(jnp.int32)
+    rest = idx // ring_len
+    ridx = (rest % k).astype(jnp.int32)
+    rest = rest // k
+    cidx = (rest % chunk).astype(jnp.int32)
+    midx = (rest // chunk).astype(jnp.int32)
+
+    row = jnp.take_along_axis(
+        rows.reshape(n, 2 * chunk * k, ring_len),
+        (idx // ring_len)[:, None, None], axis=1)[:, 0, :]
+
+    better = val > carry.best_val
+    sel_i = lambda new, old: jnp.where(better, new, old)
+    return SearchResult(
+        best_val=jnp.where(better, val, carry.best_val),
+        best_row=jnp.where(better[:, None], row, carry.best_row),
+        best_aidx=sel_i(aidx, carry.best_aidx),
+        best_sidx=sel_i(jnp.take(jnp.asarray(global_sidx, jnp.int32), cidx),
+                        carry.best_sidx),
+        best_ref=sel_i(ridx, carry.best_ref),
+        best_mirror=sel_i(midx, carry.best_mirror),
+    )
+
+
+def rotational_shift_search_mm(
+    images,
+    ref_fw,
+    params: AlignParams,
+    cfg: AlignConfig,
+    tables: PolarTables | None = None,
+    per_particle_ref: bool = False,
+    fast: bool = True,
+) -> SearchResult:
+    """Gather-free variant of ``rotational_shift_search`` (TPU fast path).
+
+    Identical search semantics, different sampling engine: the particle
+    stack is bilinear-pre-translated by each particle's accumulated
+    shift (``translate_bilinear_mm`` — exact for integer shifts), then a
+    ``lax.scan`` over the distinct grid dy values samples all dx
+    candidates of that dy with constant tent matmuls
+    (``polar_group_mm``), runs the ring DFT ccf and folds the chunk into
+    the running best.  Chunking is therefore fixed to one dy-group (all
+    dx at once); global shift index = xi * n_dy_vals + yi per the
+    x-major grid order (config.shifts).
+
+    ``fast=True`` runs the sampling matmuls in bf16xf32 (MXU native);
+    the quantization error is the same order as the CUDA texture
+    hardware's 9-bit lerp weights.
+    """
+    if tables is None:
+        tables = build_polar_tables(cfg)
+    n = images.shape[0]
+    ring_len = cfg.ring_len
+    n_dy = tables.n_dy
+
+    img_t = translate_bilinear_mm(images, params.shift_x, params.shift_y)
+
+    wy_stack = jnp.asarray(tables.wy)   # (n_dy, Q, H)
+    wx_all = jnp.asarray(tables.wx)     # (n_dx, Q, W)
+
+    init = SearchResult(
+        best_val=jnp.full((n,), _NEG_INF, jnp.float32),
+        best_row=jnp.zeros((n, ring_len), jnp.float32),
+        best_aidx=jnp.zeros((n,), jnp.int32),
+        best_sidx=jnp.zeros((n,), jnp.int32),
+        best_ref=jnp.zeros((n,), jnp.int32),
+        best_mirror=jnp.zeros((n,), jnp.int32),
+    )
+
+    def body(carry: SearchResult, xs):
+        yi, wy_slice = xs
+        polar = polar_group_mm(img_t, wy_slice, wx_all,
+                               cfg.ring_num, ring_len, fast=fast)
+        sbj_f = ring_spectra(polar)
+        if per_particle_ref:
+            orig_f, mirr_f = ccf_spectra_per_particle_ref(sbj_f, ref_fw, params.ref_id)
+        else:
+            orig_f, mirr_f = ccf_spectra(sbj_f, ref_fw)
+        rows = ccf_rows(orig_f, mirr_f, ring_len)  # (N, 2, n_dx, K, L)
+        # x-major global order: sidx = xi * n_dy + yi
+        global_sidx = jnp.arange(tables.n_dx, dtype=jnp.int32) * n_dy + yi
+        return _update_best(carry, rows, global_sidx), None
+
+    xs = (jnp.arange(n_dy, dtype=jnp.int32), wy_stack)
+    if n_dy == 1:
+        result, _ = body(init, (jnp.int32(0), wy_stack[0]))
     else:
         result, _ = jax.lax.scan(body, init, xs)
     return result

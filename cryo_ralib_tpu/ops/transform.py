@@ -15,8 +15,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..params import AlignParams
+from .dft import irfft_mm, rfft_mm
 from .interp import bilinear_sample, quadri_sample
 
 
@@ -56,6 +58,118 @@ def transform_batch(images, params: AlignParams):
     ry = ux * s + uy * c + ctr_y + params.shift_y[:, None]
     out = bilinear_sample(images, ry, rx)
     return out.reshape(n, h, w)
+
+
+def _flip_edge(arr, axis):
+    """Index map i -> clamp(size - i): [last, size-1, size-2, ..., 1].
+
+    The coordinate flip the reference's mirror/rotation math produces on
+    an even grid (``src_x = nx - x`` with texture clamp,
+    cuda/gpu_aln_noref.cu:1168): position 0 reads the clamped
+    out-of-range sample (== last), the rest reverse.
+    """
+    last = jax.lax.slice_in_dim(arr, arr.shape[axis] - 1, arr.shape[axis],
+                                axis=axis)
+    body = jnp.flip(jax.lax.slice_in_dim(arr, 1, arr.shape[axis], axis=axis),
+                    axis=axis)
+    return jnp.concatenate([last, body], axis=axis)
+
+
+def _translate_rows(img, t):
+    """Per-row sub-pixel x-translation via DFT phase ramp.
+
+    img: (N, P, P); t: (N, P) shift amounts (out[y, x] = in[y, x + t[y]],
+    periodic).  Exact for bandlimited content; the caller pads so content
+    never wraps.
+    """
+    p = img.shape[-1]
+    f = rfft_mm(img, axis=-1)                       # (N, P, F)
+    k = jnp.arange(p // 2 + 1, dtype=jnp.float32)
+    phase = 2.0 * jnp.pi * k[None, None, :] * t[:, :, None] / p
+    ramp = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    return irfft_mm(f * ramp, n=p, axis=-1)
+
+
+def _translate_cols(img, t):
+    """Per-column sub-pixel y-translation (out[y, x] = in[y + t[x], x])."""
+    return jnp.swapaxes(_translate_rows(jnp.swapaxes(img, -1, -2), t), -1, -2)
+
+
+def transform_batch_mm(images, params: AlignParams, pad_to: int | None = None):
+    """Gather-free ``transform_batch``: FFT-shear rotation on the MXU.
+
+    Same warp as ``transform_batch`` (mirror -> rotate by +angle about
+    the integer center -> shift), decomposed TPU-natively:
+
+    1. quadrant: angle = 90k + phi, phi in [-45, 45); the 90k part is an
+       exact grid permutation (transpose/edge-flip, matching the
+       reference's ``nx - x`` clamp convention), the shift vector is
+       rotated by -90k;
+    2. residual phi: three centered shears
+       R(phi) = Sx(-tan(phi/2)) Sy(sin phi) Sx(-tan(phi/2)), each a
+       per-row/column sub-pixel translation done as a DFT-matmul phase
+       ramp; the (sx, sy) shift rides the first two passes for free;
+    3. images are zero-padded to ``pad_to`` (default: next multiple of
+       128, MXU-aligned) so the periodic Fourier translations never wrap
+       content.
+
+    Interpolation is sinc (bandlimited) instead of the reference's
+    bilinear texture reads — a different, sharper kernel; averages match
+    to the interpolation difference (golden tests pin this down).
+    """
+    n, h, w = images.shape
+    assert h == w, "transform_batch_mm assumes square images"
+    if pad_to is None:
+        # content diagonal h*sqrt(2) must fit; round up to the MXU lane width
+        pad_to = ((int(np.ceil(h * np.sqrt(2.0))) + 127) // 128) * 128
+    c = w // 2
+
+    ang = jnp.deg2rad(params.angle.astype(jnp.float32))
+    # quadrant index k = round(angle / 90) mod 4, residual phi in [-45, 45)
+    k90 = jnp.floor(ang / (jnp.pi / 2) + 0.5).astype(jnp.int32)
+    phi = ang - k90.astype(jnp.float32) * (jnp.pi / 2)
+    k90 = jnp.mod(k90, 4)
+
+    # pre-rotate by 90k: all four variants, masked select
+    r0 = images
+    r1 = _flip_edge(jnp.swapaxes(images, -1, -2), -2)   # 90 deg
+    r2 = _flip_edge(_flip_edge(images, -1), -2)          # 180 deg
+    r3 = _flip_edge(jnp.swapaxes(images, -1, -2), -1)   # 270 deg
+    sel = k90[:, None, None]
+    base = jnp.where(sel == 0, r0, jnp.where(sel == 1, r1,
+                     jnp.where(sel == 2, r2, r3)))
+
+    # rotate the shift vector by -90k
+    sx, sy = params.shift_x, params.shift_y
+    sxr = jnp.select([k90 == 0, k90 == 1, k90 == 2], [sx, sy, -sx], -sy)
+    syr = jnp.select([k90 == 0, k90 == 1, k90 == 2], [sy, -sx, -sy], sx)
+
+    # zero-pad so the center lands on pad_to//2
+    off = pad_to // 2 - c
+    base = jnp.pad(base, ((0, 0), (off, pad_to - h - off),
+                          (off, pad_to - w - off)))
+    cp = jnp.float32(pad_to // 2)
+
+    a = -jnp.tan(phi / 2.0)
+    b = jnp.sin(phi)
+    rows = jnp.arange(pad_to, dtype=jnp.float32)[None, :] - cp  # y - cy
+    cols = jnp.arange(pad_to, dtype=jnp.float32)[None, :] - cp  # x - cx
+
+    # pass 1: y-translate by syr (see docstring: img1 = img(p + s))
+    out = _translate_cols(base, jnp.broadcast_to(syr[:, None], (n, pad_to)))
+    # pass 2: x-translate by a*(y-cy) + sxr  (first shear + x shift)
+    out = _translate_rows(out, a[:, None] * rows + sxr[:, None])
+    # pass 3: y-translate by b*(x-cx)
+    out = _translate_cols(out, b[:, None] * cols)
+    # pass 4: x-translate by a*(y-cy)
+    out = _translate_rows(out, a[:, None] * rows)
+
+    out = out[:, off:off + h, off:off + w]
+
+    # mirror: out_m[y, x] = out[y, clamp(w - x)] (applied to the final
+    # result; equivalent to the reference's pre-rotation src_x = nx - x)
+    flipped = _flip_edge(out, -1)
+    return jnp.where(params.mirror[:, None, None] == 1, flipped, out)
 
 
 def rot_shift2d(images, angles, sx, sy, mirror=None, scale=None):
