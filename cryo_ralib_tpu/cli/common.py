@@ -1,0 +1,129 @@
+"""Shared CLI plumbing for the alignment front-ends.
+
+Replaces the reference's per-CLI ``main()`` prologue (MPI setup, GPU
+communicator surgery, RAM-budgeted batched stack reads and the particle
+re-scatter, test_mref_gpu_align.py:1136-1464): on TPU one process owns
+all local chips, the stack is loaded once and sharded over a 'dp' mesh,
+and there is nothing to scatter by hand.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def add_common_flags(p: argparse.ArgumentParser, reffree: bool = False):
+    """The reference optparse surface (test_mref_gpu_align.py:1142-1159,
+    test_reffree_gpu_align.py:915-935), flag for flag."""
+    p.add_argument("--ir", type=int, default=1, help="inner ring radius")
+    p.add_argument("--ou", type=int, default=-1, help="outer ring radius")
+    p.add_argument("--rs", type=int, default=1, help="ring step")
+    p.add_argument("--xr", type=float, default=0.0, help="x shift search range")
+    p.add_argument("--yr", type=float, default=-1.0,
+                   help="y shift search range (<0: use xr, like the "
+                        "reference GPU config)")
+    p.add_argument("--ts", type=float, default=1.0, help="shift search step")
+    p.add_argument("--center", type=int, default=-1, help="centering method")
+    p.add_argument("--maxit", type=int, default=0,
+                   help="max iterations (0 = auto)")
+    p.add_argument("--CTF", action="store_true",
+                   help="accepted for flag parity; force-disabled like the "
+                        "reference (test_mref_gpu_align.py:308)")
+    p.add_argument("--snr", type=float, default=1.0, help="SNR (CTF path)")
+    p.add_argument("--function", default="ref_ali2d",
+                   help="reference-preparation user function")
+    p.add_argument("--rand_seed", type=int, default=1000,
+                   help="seed for vanished-class reseeding")
+    p.add_argument("--MPI", action="store_true",
+                   help="accepted for compatibility; sharding replaces MPI")
+    p.add_argument("--EQ", action="store_true",
+                   help="accepted for compatibility (EQ variant unused)")
+    p.add_argument("--gpu_devices", default="",
+                   help="compatibility alias for --devices")
+    p.add_argument("--gpu_info", action="store_true",
+                   help="print accelerator info and exit (print_gpu_info)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="number of chips to shard over (0 = all)")
+    p.add_argument("--sampler", default="auto",
+                   choices=["auto", "matmul", "gather"],
+                   help="sampling engine (matmul = TPU fast path)")
+    p.add_argument("--header_writeback", action="store_true",
+                   help="write final params into the input stack headers "
+                        "(xform.align2d / assign), like the bdb_cuda CLI")
+    if reffree:
+        p.add_argument("--nomirror", action="store_true",
+                       help="accepted for parity (mirror always searched)")
+        p.add_argument("--dst", type=float, default=0.0)
+        p.add_argument("--Fourvar", action="store_true")
+        p.add_argument("--mode", default="F")
+        p.add_argument("--random_method", default="")
+    return p
+
+
+def print_device_info():
+    """``print_gpu_info`` / ``--gpu_info`` equivalent
+    (cuda/gpu_aln_common.cu:165)."""
+    import jax
+
+    for i, d in enumerate(jax.devices()):
+        print(f"device {i}: {d.device_kind} ({d.platform})")
+
+
+def load_stack(path: str):
+    """Read a particle stack by extension: EMAN2-HDF (.hdf), MRC(S)."""
+    from ..io.eman_hdf import read_hdf_stack
+    from ..io.mrc import read_mrc
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".hdf", ".h5", ".hdf5"):
+        images, headers = read_hdf_stack(path)
+        return np.asarray(images, np.float32), headers
+    if ext in (".mrc", ".mrcs"):
+        data, _hdr = read_mrc(path)
+        if data.ndim == 2:
+            data = data[None]
+        return np.asarray(data, np.float32), [{} for _ in range(len(data))]
+    raise ValueError(f"unsupported stack format: {path}")
+
+
+def check_outdir(outdir: str):
+    """The reference hard-errors when the output directory exists
+    (test_mref_gpu_align.py:1344)."""
+    if os.path.exists(outdir):
+        print(f"ERROR: output directory {outdir} exists", file=sys.stderr)
+        raise SystemExit(1)
+    os.makedirs(outdir)
+
+
+def make_mesh_arg(n_devices: int):
+    import jax
+
+    from ..parallel.mesh import make_mesh
+
+    total = len(jax.devices())
+    if n_devices <= 0:
+        n_devices = total
+    if n_devices == 1:
+        return None
+    return make_mesh(min(n_devices, total))
+
+
+def writeback_headers(stack_path: str, table: np.ndarray, assign=None):
+    """Final header write-back (``set_params2D`` + ``assign`` attr,
+    test_mref_cheng_yu_bdb_cuda.py:155-210)."""
+    from ..io.eman_hdf import update_headers
+
+    updates = []
+    for i in range(table.shape[0]):
+        upd = {"xform.align2d": {
+            "alpha": float(table[i, 0]), "tx": float(table[i, 1]),
+            "ty": float(table[i, 2]), "mirror": int(table[i, 3]),
+            "scale": 1.0}}
+        if assign is not None:
+            upd["assign"] = int(assign[i])
+        updates.append(upd)
+    update_headers(stack_path, updates)

@@ -1,0 +1,68 @@
+"""Multireference 2D alignment CLI.
+
+TPU-native replacement for ``mpirun -np N test_mref_gpu_align.py
+stack refs outdir --ou=36 --xr=3 ...`` (reference README.md:54-59;
+main() at test_mref_gpu_align.py:1136): same positional arguments, same
+flags, same output artifacts (``aqm%03d.hdf`` class averages with
+``members``/``ave_n`` headers, ``drm*`` FSC files, final params), no MPI
+— multi-chip scaling comes from the particle-axis mesh.
+
+Usage:
+    python -m cryo_ralib_tpu.cli.mref stack.hdf refs.hdf outdir --ou=36 \
+        --xr=3 --yr=3 --ts=1 --maxit=6
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from .common import (add_common_flags, check_outdir, load_stack,
+                     make_mesh_arg, print_device_info, writeback_headers)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="cryo-ralib-mref",
+        description="TPU multireference 2D alignment (Cryo-RAlib rebuild)")
+    p.add_argument("stack", help="particle stack (.hdf/.mrcs)")
+    p.add_argument("refs", help="initial references (.hdf/.mrcs)")
+    p.add_argument("outdir", help="output directory (must not exist)")
+    return add_common_flags(p)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.gpu_info:
+        print_device_info()
+        return 0
+    check_outdir(args.outdir)
+
+    from ..models.mref import mref_ali2d_tpu
+    from ..utils.log import RunLogger
+
+    log = RunLogger(args.outdir)
+    log.print_begin_msg("mref_ali2d_tpu")
+    images, _headers = load_stack(args.stack)
+    refs, _ = load_stack(args.refs)
+    mesh = make_mesh_arg(args.devices)
+
+    res = mref_ali2d_tpu(
+        images, refs, outdir=args.outdir,
+        ir=args.ir, ou=args.ou, rs=args.rs,
+        xr=args.xr, yr=args.yr, ts=args.ts,
+        center=args.center, maxit=args.maxit,
+        CTF=False,  # force-disabled like the reference (":308  # okay..?")
+        snr=args.snr, user_func_name=args.function,
+        rand_seed=args.rand_seed, log=log, mesh=mesh,
+        sampler=args.sampler,
+    )
+    if args.header_writeback:
+        writeback_headers(args.stack, res.params, res.assignments)
+    log.print_end_msg("mref_ali2d_tpu")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

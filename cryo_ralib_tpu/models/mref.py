@@ -68,6 +68,7 @@ def mref_ali2d_tpu(
     log: RunLogger | None = None,
     mesh=None,
     shift_chunk: int = 8,
+    sampler: str = "auto",
 ) -> MrefResult:
     """Multireference-align ``images`` against ``refs``.
 
@@ -108,7 +109,7 @@ def mref_ali2d_tpu(
     imgs_dev, gidx, valid = shard_stack(data, mesh)
     params = AlignParams.zeros(imgs_dev.shape[0])
     step = make_align_step(cfg, n_classes=numref, shift_chunk=shift_chunk,
-                           update_ref=True, mesh=mesh)
+                           update_ref=True, mesh=mesh, sampler=sampler)
 
     counts = np.zeros(numref, np.int64)
     assign: np.ndarray = np.zeros(n, np.int64)

@@ -68,6 +68,7 @@ def ali2d_base_tpu(
     log: RunLogger | None = None,
     mesh=None,
     shift_chunk: int = 8,
+    sampler: str = "auto",
 ) -> RefFreeResult:
     """Align a particle stack to its iteratively refined global average.
 
@@ -101,7 +102,7 @@ def ali2d_base_tpu(
     imgs_dev, gidx, valid = shard_stack(data, mesh)
     params = AlignParams.zeros(imgs_dev.shape[0])
     step = make_align_step(cfg, n_classes=1, shift_chunk=shift_chunk,
-                           update_ref=False, mesh=mesh)
+                           update_ref=False, mesh=mesh, sampler=sampler)
 
     result = RefFreeResult(params=np.zeros((n, 4)), average=np.zeros((nx, nx)))
     a0 = -1.0e22

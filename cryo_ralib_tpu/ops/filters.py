@@ -83,6 +83,9 @@ def fshift(img, sx, sy):
     phase = -2.0 * jnp.pi * (
         fy[:, None] * sy[..., None, None] + fx[None, :] * sx[..., None, None]
     )
-    ramp = jnp.cos(phase) + 1j * jnp.sin(phase)
+    # lax.complex keeps complex64 — the TPU backend has no complex128
+    import jax
+
+    ramp = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
     f = rfft2_mm(img)
     return irfft2_mm(f * ramp, s=(h, w)).astype(img.dtype)
