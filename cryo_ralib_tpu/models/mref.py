@@ -27,14 +27,13 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..config import AlignConfig
-from ..params import AlignParams, params_table
+from ..params import params_table
 from ..ops.fsc import fsc, write_fsc
 from ..ops.masks import model_circle, normalize_mask
 from ..io.eman_hdf import write_image
 from ..io.star import write_text_row
-from ..parallel.mesh import shard_stack
 from ..utils.log import RunLogger
-from .steps import make_align_step
+from .engine import AlignmentEngine
 from .user_functions import factory
 
 
@@ -69,6 +68,7 @@ def mref_ali2d_tpu(
     mesh=None,
     shift_chunk: int = 8,
     sampler: str = "auto",
+    batch_size: int | None = None,
 ) -> MrefResult:
     """Multireference-align ``images`` against ``refs``.
 
@@ -106,21 +106,22 @@ def mref_ali2d_tpu(
 
     rng = _random.Random(rand_seed)
 
-    imgs_dev, gidx, valid = shard_stack(data, mesh)
-    params = AlignParams.zeros(imgs_dev.shape[0])
-    step = make_align_step(cfg, n_classes=numref, shift_chunk=shift_chunk,
-                           update_ref=True, mesh=mesh, sampler=sampler)
+    engine = AlignmentEngine(data, cfg, n_classes=numref, mesh=mesh,
+                             sampler=sampler, update_ref=True,
+                             batch_size=batch_size, shift_chunk=shift_chunk)
+    if not engine.resident:
+        log.add("streaming %d particles in batches of %d"
+                % (n, engine.batch))
 
     counts = np.zeros(numref, np.int64)
     assign: np.ndarray = np.zeros(n, np.int64)
     members: list = [[] for _ in range(numref)]
 
     for it in range(max_iter):
-        out = step(imgs_dev, jnp.asarray(refi), params, gidx, valid)
-        params = out.params
-        sums = np.asarray(out.class_sums)      # (K, 2, H, W)
-        counts = np.asarray(out.counts, np.int64)
-        assign = np.asarray(params.ref_id)[:n]
+        out = engine.iterate(refi)
+        sums = out.class_sums                  # (K, 2, H, W)
+        counts = out.counts
+        assign = engine.params_np().ref_id[:n].astype(np.int64)
         members = [list(np.nonzero(assign == j)[0]) for j in range(numref)]
 
         # ---- reference update (rank-0 logic in the original,
@@ -179,8 +180,7 @@ def mref_ali2d_tpu(
 
     # ---- final params in header convention (the "usually done in ormq()"
     # decode, test_mref_gpu_align.py:578-588)
-    final = AlignParams(*[np.asarray(f)[:n] for f in params])
-    table = params_table(final)
+    table = params_table(engine.params_np())
     if outdir:
         write_text_row(table, os.path.join(outdir, "final2Dparams.txt"))
     log.add("Finished mref_ali2d")

@@ -27,15 +27,14 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..config import AlignConfig
-from ..params import AlignParams, params_table, pixel_error_2D
+from ..params import params_table, pixel_error_2D
 from ..ops.filters import fshift
 from ..ops.fsc import fsc_mask, write_fsc
 from ..ops.masks import infomask, model_circle
 from ..io.eman_hdf import write_image
 from ..io.star import write_text_row
-from ..parallel.mesh import shard_stack
 from ..utils.log import RunLogger
-from .steps import make_align_step, raw_sum_step
+from .engine import AlignmentEngine
 from .user_functions import factory
 
 
@@ -69,6 +68,7 @@ def ali2d_base_tpu(
     mesh=None,
     shift_chunk: int = 8,
     sampler: str = "auto",
+    batch_size: int | None = None,
 ) -> RefFreeResult:
     """Align a particle stack to its iteratively refined global average.
 
@@ -99,10 +99,12 @@ def ali2d_base_tpu(
     mean, _sigma = infomask(jnp.asarray(images), mask_j)
     data = np.asarray(jnp.asarray(images) - mean[:, None, None], np.float32)
 
-    imgs_dev, gidx, valid = shard_stack(data, mesh)
-    params = AlignParams.zeros(imgs_dev.shape[0])
-    step = make_align_step(cfg, n_classes=1, shift_chunk=shift_chunk,
-                           update_ref=False, mesh=mesh, sampler=sampler)
+    engine = AlignmentEngine(data, cfg, n_classes=1, mesh=mesh,
+                             sampler=sampler, update_ref=False,
+                             batch_size=batch_size, shift_chunk=shift_chunk)
+    if not engine.resident:
+        log.add("streaming %d particles in batches of %d"
+                % (n, engine.batch))
 
     result = RefFreeResult(params=np.zeros((n, 4)), average=np.zeros((nx, nx)))
     a0 = -1.0e22
@@ -116,7 +118,9 @@ def ali2d_base_tpu(
         total_iter += 1
         # ---- build the new average from the previous iteration's sums
         if sums is None:
-            sums = np.asarray(raw_sum_step(imgs_dev, gidx, valid, n_classes=1))
+            # iteration 0: even/odd sums of the raw stack
+            # (statistics.sum_oe, test_reffree_gpu_align.py:363-365)
+            sums = np.stack([data[0::2].sum(0), data[1::2].sum(0)])[None]
         ave1, ave2 = sums[0, 0], sums[0, 1]
         tavg = ((ave1 + ave2) / n).astype(np.float32)
 
@@ -161,19 +165,15 @@ def ali2d_base_tpu(
             break
 
         # ---- alignment against the new average
-        # (snapshot the previous params before the donated buffer is reused)
-        old_tab = params_table(
-            AlignParams(*[np.asarray(f)[:n] for f in params]))
-        out = step(imgs_dev, jnp.asarray(tavg)[None], params, gidx, valid)
-        params = out.params
-        sums = np.asarray(out.class_sums)
-        sx_sum = float(out.sx_sum)
-        sy_sum = float(out.sy_sum)
+        old_tab = params_table(engine.params_np())
+        out = engine.iterate(tavg[None])
+        sums = out.class_sums
+        sx_sum = out.sx_sum
+        sy_sum = out.sy_sum
 
         # ---- QC: pixel error / mirror consistency vs previous params
         # (test_reffree_gpu_align.py:527-538)
-        new_tab = params_table(
-            AlignParams(*[np.asarray(f)[:n] for f in params]))
+        new_tab = params_table(engine.params_np())
         consistent = old_tab[:, 3] == new_tab[:, 3]
         errs = np.asarray(pixel_error_2D(
             (old_tab[:, 0], old_tab[:, 1], old_tab[:, 2]),
@@ -190,8 +190,7 @@ def ali2d_base_tpu(
 
     result.average = tavg
     result.iterations = total_iter
-    final = AlignParams(*[np.asarray(f)[:n] for f in params])
-    result.params = params_table(final)
+    result.params = params_table(engine.params_np())
     if outdir:
         write_text_row(result.params, os.path.join(outdir, "initial2Dparams.txt"))
     log.add("Finished ali2d_base")

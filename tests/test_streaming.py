@@ -1,0 +1,100 @@
+"""Streaming (host-batched) execution equals resident execution, and the
+HBM batch planner behaves sanely."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from cryo_ralib_tpu.config import AlignConfig
+from cryo_ralib_tpu.models import mref_ali2d_tpu
+from cryo_ralib_tpu.models.engine import AlignmentEngine
+from cryo_ralib_tpu.parallel.batching import plan_batch_size, step_footprint
+from cryo_ralib_tpu.utils.log import RunLogger
+from tests.conftest import make_class_bases, make_disc_stack
+
+
+def test_plan_batch_size_monotone():
+    cfg = AlignConfig(img_dim=90, ring_num=36, ring_len=256, shift_step=1.0,
+                      shift_rng_x=3.0, shift_rng_y=3.0)
+    small = plan_batch_size(10 ** 6, 8, cfg, limit_bytes=2 * 2 ** 30)
+    big = plan_batch_size(10 ** 6, 8, cfg, limit_bytes=16 * 2 ** 30)
+    assert small < big
+    assert small >= 1
+    # footprint of the planned batch actually fits the budget
+    assert step_footprint(small, 8, cfg).total <= 0.7 * 2 * 2 ** 30
+    # whole tiny stack always fits
+    assert plan_batch_size(64, 8, cfg) == 64
+
+
+def _engine_results(data, refs, cfg, k, batch_size, iters=2, mesh=None):
+    eng = AlignmentEngine(data, cfg, n_classes=k, mesh=mesh,
+                          sampler="gather", update_ref=True,
+                          batch_size=batch_size)
+    outs = []
+    for _ in range(iters):
+        outs.append(eng.iterate(refs))
+    return eng, outs
+
+
+def test_streaming_equals_resident(rng):
+    nx, k, n = 64, 3, 22
+    cfg = AlignConfig(img_dim=nx, ring_num=20, ring_len=256, shift_step=1.0,
+                      shift_rng_x=1.0, shift_rng_y=1.0)
+    base = make_class_bases(k, nx)
+    data = (base[rng.integers(0, k, n)]
+            + rng.normal(0, 0.05, (n, nx, nx))).astype(np.float32)
+    refs = base.copy()
+
+    eng_r, outs_r = _engine_results(data, refs, cfg, k, batch_size=n)
+    eng_s, outs_s = _engine_results(data, refs, cfg, k, batch_size=8)
+    assert eng_r.resident and not eng_s.resident
+
+    for o_r, o_s in zip(outs_r, outs_s):
+        np.testing.assert_array_equal(o_r.counts, o_s.counts)
+        np.testing.assert_allclose(o_r.class_sums, o_s.class_sums,
+                                   atol=5e-4 * np.abs(o_r.class_sums).max())
+        np.testing.assert_allclose(o_r.sx_sum, o_s.sx_sum, atol=1e-3)
+    p_r = eng_r.params_np()
+    p_s = eng_s.params_np()
+    np.testing.assert_array_equal(p_r.ref_id, p_s.ref_id)
+    np.testing.assert_array_equal(p_r.mirror, p_s.mirror)
+    np.testing.assert_allclose(p_r.angle, p_s.angle, atol=1e-3)
+    np.testing.assert_allclose(p_r.shift_x, p_s.shift_x, atol=1e-5)
+
+
+def test_streaming_with_mesh(rng):
+    """Streamed batches over the 8-device mesh: batch rounds to a multiple
+    of the dp size and results still match the resident run."""
+    from cryo_ralib_tpu.parallel import make_mesh
+
+    nx, k, n = 64, 2, 20
+    cfg = AlignConfig(img_dim=nx, ring_num=20, ring_len=256, shift_step=1.0,
+                      shift_rng_x=1.0, shift_rng_y=1.0)
+    base = make_class_bases(k, nx)
+    data = (base[rng.integers(0, k, n)]
+            + rng.normal(0, 0.05, (n, nx, nx))).astype(np.float32)
+    mesh = make_mesh(8)
+    eng_r, outs_r = _engine_results(data, base.copy(), cfg, k, batch_size=n)
+    eng_s, outs_s = _engine_results(data, base.copy(), cfg, k,
+                                    batch_size=6, mesh=mesh)
+    assert eng_s.batch == 8  # rounded up to the mesh size
+    np.testing.assert_array_equal(outs_r[-1].counts, outs_s[-1].counts)
+    np.testing.assert_array_equal(eng_r.params_np().ref_id,
+                                  eng_s.params_np().ref_id)
+
+
+def test_mref_driver_streamed(tmp_path, rng):
+    """Full mref driver forced into streaming mode matches the resident
+    driver run."""
+    base = make_class_bases(3, 64)
+    cls = rng.integers(0, 3, 18)
+    data = (base[cls] + rng.normal(0, 0.05, (18, 64, 64))).astype(np.float32)
+    kw = dict(ou=24, xr=1, yr=1, ts=1, maxit=2,
+              user_func_name="ref_ali2d_no_filter",
+              log=RunLogger(None, quiet=True), sampler="gather")
+    res_r = mref_ali2d_tpu(data, base.copy(), **kw)
+    res_s = mref_ali2d_tpu(data, base.copy(), batch_size=8, **kw)
+    np.testing.assert_array_equal(res_r.assignments, res_s.assignments)
+    np.testing.assert_allclose(res_r.params, res_s.params, atol=1e-3)
+    np.testing.assert_array_equal(res_r.class_counts, res_s.class_counts)
