@@ -62,9 +62,22 @@ def parse_header(path: str) -> MRCHeader:
                      extended_bytes=nsymbt)
 
 
-def read_mrc(path: str, indices=None) -> np.ndarray:
-    """Read a full stack (or selected z-slices) as (N, H, W) float32."""
+def read_mrc(path: str, indices=None, native: bool | None = None) -> np.ndarray:
+    """Read a full stack (or selected z-slices) as (N, H, W) float32.
+
+    ``native=None`` uses the threaded C++ reader when it is built and the
+    read is large enough to matter; True forces it; False forces numpy.
+    """
     hdr = parse_header(path)
+    n_read = hdr.nz if indices is None else len(indices)
+    if native is None:
+        native = n_read >= 64
+    if native and hdr.mode in _MODE_DTYPES:
+        from .. import native as native_mod
+
+        if native_mod.available():
+            idx = np.arange(hdr.nz) if indices is None else indices
+            return native_mod.read_slices(path, idx)
     item = hdr.nx * hdr.ny
     dtype = hdr.dtype
     if indices is None:
