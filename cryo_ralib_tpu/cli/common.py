@@ -51,6 +51,8 @@ def add_common_flags(p: argparse.ArgumentParser, reffree: bool = False):
     p.add_argument("--sampler", default="auto",
                    choices=["auto", "matmul", "gather"],
                    help="sampling engine (matmul = TPU fast path)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the checkpoint in outdir")
     p.add_argument("--header_writeback", action="store_true",
                    help="write final params into the input stack headers "
                         "(xform.align2d / assign), like the bdb_cuda CLI")

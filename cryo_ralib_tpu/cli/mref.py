@@ -37,7 +37,11 @@ def main(argv=None):
     if args.gpu_info:
         print_device_info()
         return 0
-    check_outdir(args.outdir)
+    if args.resume:
+        import os
+        os.makedirs(args.outdir, exist_ok=True)
+    else:
+        check_outdir(args.outdir)
 
     from ..models.mref import mref_ali2d_tpu
     from ..utils.log import RunLogger
@@ -56,7 +60,7 @@ def main(argv=None):
         CTF=False,  # force-disabled like the reference (":308  # okay..?")
         snr=args.snr, user_func_name=args.function,
         rand_seed=args.rand_seed, log=log, mesh=mesh,
-        sampler=args.sampler,
+        sampler=args.sampler, resume=args.resume,
     )
     if args.header_writeback:
         writeback_headers(args.stack, res.params, res.assignments)

@@ -31,7 +31,11 @@ def main(argv=None):
     if args.gpu_info:
         print_device_info()
         return 0
-    check_outdir(args.outdir)
+    if args.resume:
+        import os
+        os.makedirs(args.outdir, exist_ok=True)
+    else:
+        check_outdir(args.outdir)
 
     from ..models.reffree import ali2d_base_tpu
     from ..utils.log import RunLogger
@@ -48,7 +52,7 @@ def main(argv=None):
         center=args.center, maxit=args.maxit,
         CTF=False, snr=args.snr, user_func_name=args.function,
         random_method=args.random_method, log=log, mesh=mesh,
-        sampler=args.sampler,
+        sampler=args.sampler, resume=args.resume,
     )
     if args.header_writeback:
         writeback_headers(args.stack, res.params)

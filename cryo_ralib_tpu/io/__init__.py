@@ -7,6 +7,7 @@ from .eman_hdf import (  # noqa: F401
     write_hdf_stack,
     write_image,
 )
+from .dataset import HDFfile  # noqa: F401
 from .mrc import LazyImage, MRCHeader, parse_header, read_mrc, write_mrc  # noqa: F401
 from .star import (  # noqa: F401
     Starfile,

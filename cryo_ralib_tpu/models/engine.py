@@ -93,6 +93,33 @@ class AlignmentEngine:
         return AlignParams(p["angle"], p["shift_x"], p["shift_y"],
                            p["mirror"], p["ref_id"])
 
+    def set_params(self, params: AlignParams):
+        """Restore per-particle params from host arrays (checkpoint
+        resume)."""
+        if self.resident:
+            n_pad = self._params.angle.shape[0]
+            pad = n_pad - self.n
+
+            def place(a, dtype):
+                full = np.concatenate([np.asarray(a, dtype),
+                                       np.zeros(pad, dtype)])
+                return jax.device_put(jnp.asarray(full),
+                                      self._params.angle.sharding)
+
+            self._params = AlignParams(
+                place(params.angle, np.float32),
+                place(params.shift_x, np.float32),
+                place(params.shift_y, np.float32),
+                place(params.mirror, np.int32),
+                place(params.ref_id, np.int32))
+        else:
+            p = self._params_np
+            p["angle"][:] = params.angle
+            p["shift_x"][:] = params.shift_x
+            p["shift_y"][:] = params.shift_y
+            p["mirror"][:] = params.mirror
+            p["ref_id"][:] = params.ref_id
+
     def set_ref_id(self, ref_id: np.ndarray):
         """Preset assignments (``pre_align_init`` presets ref_id,
         cuda/gpu_aln_noref.cu:209)."""

@@ -33,6 +33,7 @@ from ..ops.masks import model_circle, normalize_mask
 from ..io.eman_hdf import write_image
 from ..io.star import write_text_row
 from ..utils.log import RunLogger
+from .checkpoint import load_checkpoint, save_checkpoint
 from .engine import AlignmentEngine
 from .user_functions import factory
 
@@ -69,6 +70,7 @@ def mref_ali2d_tpu(
     shift_chunk: int = 8,
     sampler: str = "auto",
     batch_size: int | None = None,
+    resume: bool = False,
 ) -> MrefResult:
     """Multireference-align ``images`` against ``refs``.
 
@@ -77,6 +79,8 @@ def mref_ali2d_tpu(
     ``--yr`` is given (test_mref_gpu_align.py:365-369); we honor ``yr``
     when it differs, falling back to the reference behavior for yr<0.
     """
+    if outdir:
+        os.makedirs(outdir, exist_ok=True)
     log = log or RunLogger(outdir)
     user_func = factory[user_func_name]
 
@@ -117,7 +121,16 @@ def mref_ali2d_tpu(
     assign: np.ndarray = np.zeros(n, np.int64)
     members: list = [[] for _ in range(numref)]
 
-    for it in range(max_iter):
+    start_it = 0
+    if resume and outdir:
+        ck = load_checkpoint(outdir, rng)
+        if ck is not None:
+            start_it, ck_params, refi, _extra = ck
+            start_it += 1
+            engine.set_params(ck_params)
+            log.add("resumed from checkpoint at iteration %d" % start_it)
+
+    for it in range(start_it, max_iter):
         out = engine.iterate(refi)
         sums = out.class_sums                  # (K, 2, H, W)
         counts = out.counts
@@ -171,6 +184,8 @@ def mref_ali2d_tpu(
                 })
         refi = new_refs
 
+        if outdir:
+            save_checkpoint(outdir, it, engine.params_np(), refi, rng=rng)
         log.add("ITERATION #%3d" % (it + 1))
         for j in range(numref):
             log.add("   group #%3d   number of particles = %7d"

@@ -34,6 +34,7 @@ from ..ops.masks import infomask, model_circle
 from ..io.eman_hdf import write_image
 from ..io.star import write_text_row
 from ..utils.log import RunLogger
+from .checkpoint import load_checkpoint, save_checkpoint
 from .engine import AlignmentEngine
 from .user_functions import factory
 
@@ -69,6 +70,7 @@ def ali2d_base_tpu(
     shift_chunk: int = 8,
     sampler: str = "auto",
     batch_size: int | None = None,
+    resume: bool = False,
 ) -> RefFreeResult:
     """Align a particle stack to its iteratively refined global average.
 
@@ -76,6 +78,8 @@ def ali2d_base_tpu(
     ``yr < 0`` means "use xr" like the reference GPU config which passes
     ``xrng[0]`` for both axes (test_reffree_gpu_align.py:318).
     """
+    if outdir:
+        os.makedirs(outdir, exist_ok=True)
     log = log or RunLogger(outdir)
     user_func = factory[user_func_name]
 
@@ -114,7 +118,22 @@ def ali2d_base_tpu(
     tavg = np.zeros((nx, nx), np.float32)
     total_iter = 0
 
-    for it in range(max_iter):
+    start_it = 0
+    if resume and outdir:
+        ck = load_checkpoint(outdir)
+        if ck is not None:
+            start_it, ck_params, tavg_ck, extra = ck
+            start_it += 1
+            engine.set_params(ck_params)
+            tavg = tavg_ck[0]
+            sums = np.asarray(extra["sums"])
+            a0 = float(extra["a0"])
+            sx_sum = float(extra["sx_sum"])
+            sy_sum = float(extra["sy_sum"])
+            total_iter = start_it
+            log.add("resumed from checkpoint at iteration %d" % start_it)
+
+    for it in range(start_it, max_iter):
         total_iter += 1
         # ---- build the new average from the previous iteration's sums
         if sums is None:
@@ -184,6 +203,10 @@ def ali2d_base_tpu(
             float(errs[consistent].sum() / max(n_cons, 1)))
         log.add("Mirror consistency %6.2f%%, mean pixel error %.4f"
                 % (100.0 * n_cons / n, result.pixel_errors[-1]))
+        if outdir:
+            save_checkpoint(outdir, it, engine.params_np(), tavg[None],
+                            extra={"sums": sums, "a0": a0,
+                                   "sx_sum": sx_sum, "sy_sum": sy_sum})
 
     if outdir:
         write_image(os.path.join(outdir, "aqfinal.hdf"), tavg, 0)

@@ -172,22 +172,40 @@ def transform_batch_mm(images, params: AlignParams, pad_to: int | None = None):
     return jnp.where(params.mirror[:, None, None] == 1, flipped, out)
 
 
-def rot_shift2d(images, angles, sx, sy, mirror=None, scale=None):
-    """EMAN2 ``rot_shift2D`` with quadri-background interpolation, batched.
+def rot_shift2d(images, angles, sx, sy, mirror=None, scale=None,
+                engine: str = "auto"):
+    """EMAN2 ``rot_shift2D``, batched — the public batch-transform op
+    (notebook 02's ``rot_shift_2d_cupy``; README.md:62 claims ~5x vs CPU).
 
     Forward semantics: rotate by ``angle`` degrees about the center, shift
     by (sx, sy); mirror flips columns afterwards, leaving column 0 fixed
     for even sizes (``start = 1 - h % 2``) — the exact post-flip of the
     CuPy wrapper (notebook 02 cell 2).
 
+    Engines:
+      "quadri": quadri-background interpolation via gathers — exact
+        notebook-02 parity; fast on CPU, slow on TPU (no vector gather).
+      "shear": gather-free FFT-shear path (sinc interpolation) reusing
+        ``transform_batch_mm`` — the identity
+        ``R(a)(p-c-s)+c = R(a)(p-c)+c+(-R(a)s)`` maps this op onto the
+        inverse-map transform; requires scale == 1.
+      "auto": shear on TPU (when scale is None), quadri elsewhere.
+
     Args:
       images: (N, H, W).
       angles, sx, sy: (N,) float arrays (degrees / pixels).
       mirror: optional (N,) 0/1.
-      scale: optional (N,) scale factors (default 1).
+      scale: optional (N,) scale factors (default 1; forces quadri).
     Returns:
       (N, H, W).
     """
+    if engine == "auto":
+        engine = ("shear" if scale is None
+                  and jax.default_backend() == "tpu" else "quadri")
+    if engine == "shear":
+        if scale is not None:
+            raise ValueError("shear engine requires scale=1 (None)")
+        return _rot_shift2d_shear(images, angles, sx, sy, mirror)
     n, h, w = images.shape
     angles = jnp.asarray(angles, images.dtype)
     sx = jnp.asarray(sx, images.dtype)
@@ -233,6 +251,28 @@ def rot_shift2d(images, angles, sx, sy, mirror=None, scale=None):
         start = 1 - h % 2
         flipped = out.at[:, :, start:].set(jnp.flip(out[:, :, start:], axis=2))
         out = jnp.where(jnp.asarray(mirror).reshape(n, 1, 1) == 1, flipped, out)
+    return out
+
+
+def _rot_shift2d_shear(images, angles, sx, sy, mirror=None):
+    """rot_shift2d via the FFT-shear warp: shift vector rotated into the
+    post-rotation frame, notebook-style mirror post-flip."""
+    n, h, w = images.shape
+    angles = jnp.asarray(angles, jnp.float32)
+    sx = _restrict2(jnp.asarray(sx, jnp.float32), w)
+    sy = _restrict2(jnp.asarray(sy, jnp.float32), h)
+    ang = jnp.deg2rad(angles)
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    sxp = -(sx * c - sy * s)
+    syp = -(sx * s + sy * c)
+    p = AlignParams(angles, sxp, syp,
+                    jnp.zeros((n,), jnp.int32), jnp.zeros((n,), jnp.int32))
+    out = transform_batch_mm(images, p)
+    if mirror is not None:
+        start = 1 - h % 2
+        flipped = out.at[:, :, start:].set(jnp.flip(out[:, :, start:], axis=2))
+        out = jnp.where(jnp.asarray(mirror).reshape(n, 1, 1) == 1, flipped,
+                        out)
     return out
 
 

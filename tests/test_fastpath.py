@@ -152,3 +152,23 @@ def test_align_step_matmul_vs_gather(rng):
     s1 = np.asarray(o1.class_sums)
     s2 = np.asarray(o2.class_sums)
     assert np.abs(s1 - s2).max() / np.abs(s1).max() < 0.05
+
+
+def test_rot_shift2d_shear_engine(rng):
+    from cryo_ralib_tpu.utils.synthetic import class_templates
+
+    imgs = jnp.asarray(np.repeat(class_templates(1, 90), 5, axis=0))
+    angs = jnp.asarray(rng.uniform(0, 360, 5).astype(np.float32))
+    sx = jnp.asarray(rng.uniform(-3, 3, 5).astype(np.float32))
+    sy = jnp.asarray(rng.uniform(-3, 3, 5).astype(np.float32))
+    m = jnp.asarray(rng.integers(0, 2, 5), jnp.int32)
+    from cryo_ralib_tpu.ops.transform import rot_shift2d as rs
+    a = np.asarray(rs(imgs, angs, sx, sy, mirror=m, engine="quadri"))
+    b = np.asarray(rs(imgs, angs, sx, sy, mirror=m, engine="shear"))
+    yy, xx = np.mgrid[0:90, 0:90]
+    disc = ((yy - 45) ** 2 + (xx - 45) ** 2) < 38 ** 2
+    for i in range(5):
+        sc = np.abs(a[i][disc]).max()
+        assert np.sqrt(((a[i] - b[i])[disc] ** 2).mean()) / sc < 5e-3
+    with pytest.raises(ValueError):
+        rs(imgs, angs, sx, sy, scale=jnp.ones(5), engine="shear")
