@@ -1,0 +1,141 @@
+"""Fully device-resident reference-free alignment loop.
+
+TPU rebuild of the reference's standalone gpu_isac-heritage pipeline
+(SURVEY.md §3.5): ``ref_free_alignment_2D_init`` uploads everything once,
+then every iteration runs filter-references → align → transform →
+average *entirely on device*, with the new average written straight back
+into reference memory (cuda/gpu_aln_noref.cu:743-782,1915) — no host, no
+MPI in the loop.
+
+Here the whole multi-iteration loop is ONE jitted ``lax.fori_loop``
+program: per iteration the running average is tangent-filtered at a
+static-schedule cutoff, every particle runs the full
+rotation/mirror/shift search against it, and the even/odd class sums
+produce the next average. Under a 'dp' mesh the per-iteration average
+reduction is the ICI psum. This is also the honest way to benchmark
+sustained throughput on a tunneled device: one dispatch amortizes the
+host round-trip over all iterations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AlignConfig
+from ..ops.classavg import class_sum_oe
+from ..ops.filters import filt_tanl_dyn
+from ..ops.search import (decode_params, prepare_ref_spectra,
+                          rotational_shift_search,
+                          rotational_shift_search_mm)
+from ..ops.transform import transform_batch, transform_batch_mm
+from ..params import AlignParams
+
+
+def _loop(images, avg0, params: AlignParams, gidx, valid, cutoffs, falloffs,
+          cfg: AlignConfig, *, n_iter: int, sampler: str, fast: bool,
+          shift_chunk: int):
+    n_total = jnp.sum(valid)
+
+    def body(i, state):
+        params, avg = state
+        avg_f = filt_tanl_dyn(avg, cutoffs[i], falloffs[i])
+        ref_fw = prepare_ref_spectra(avg_f[None], cfg)
+        if sampler == "matmul":
+            res = rotational_shift_search_mm(images, ref_fw, params, cfg,
+                                             fast=fast)
+        else:
+            res = rotational_shift_search(images, ref_fw, params, cfg,
+                                          shift_chunk=shift_chunk)
+        params = decode_params(res, params, cfg, update_ref=False)
+        if sampler == "matmul":
+            transformed = transform_batch_mm(images, params)
+        else:
+            transformed = transform_batch(images, params)
+        sums, _ = class_sum_oe(transformed, params.ref_id, 1,
+                               global_index=gidx, valid=valid)
+        avg_new = (sums[0, 0] + sums[0, 1]) / n_total
+        return params, avg_new
+
+    return jax.lax.fori_loop(0, n_iter, body, (params, avg0))
+
+
+def make_device_loop(cfg: AlignConfig, n_iter: int, cutoffs, falloffs=None,
+                     mesh=None, sampler: str = "auto", fast: bool = True,
+                     shift_chunk: int = 8):
+    """Build the jitted n_iter-iteration loop.
+
+    Args:
+      cutoffs: per-iteration tangent-filter cutoffs, length n_iter
+        (<=0 disables filtering that iteration — the schedule plays the
+        role of the host FSC fit in the offline driver).
+      falloffs: per-iteration falloffs (default 0.1).
+      mesh: optional 'dp' mesh; images/params shard over particles, the
+        average comes back replicated.
+
+    Returns fn(images, avg0, params, gidx, valid) -> (params, avg).
+    """
+    if sampler == "auto":
+        sampler = "matmul" if jax.default_backend() == "tpu" else "gather"
+    cutoffs = np.asarray(cutoffs, np.float32)
+    assert cutoffs.shape == (n_iter,)
+    if falloffs is None:
+        falloffs = np.full(n_iter, 0.1, np.float32)
+    falloffs = np.asarray(falloffs, np.float32)
+
+    fn = partial(_loop, cfg=cfg, n_iter=n_iter, sampler=sampler, fast=fast,
+                 shift_chunk=shift_chunk)
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+        pshard = AlignParams(shard, shard, shard, shard, shard)
+        kwargs["in_shardings"] = (shard, repl, pshard, shard, shard,
+                                  repl, repl)
+        kwargs["out_shardings"] = (pshard, repl)
+    jitted = jax.jit(fn, **kwargs)
+
+    def run(images, avg0, params, gidx, valid):
+        return jitted(images, jnp.asarray(avg0), params, gidx, valid,
+                      jnp.asarray(cutoffs), jnp.asarray(falloffs))
+
+    return run
+
+
+def ref_free_alignment_2d(images: np.ndarray, n_iter: int = 10,
+                          ou: int = -1, xr: float = 2.0, yr: float = -1.0,
+                          ts: float = 1.0, cutoff: float = 0.25,
+                          falloff: float = 0.1, mesh=None,
+                          sampler: str = "auto"):
+    """Convenience wrapper: run the device-resident loop on a stack.
+
+    Mirrors the CUDA standalone main_2 harness (gpu_aln_noref.cu:
+    2564-2631): iteration 0 starts from the plain global average; a
+    fixed tanh cutoff substitutes the host FSC fit.
+
+    Returns (params_table-ready AlignParams on host, final average).
+    """
+    from ..parallel.mesh import shard_stack
+
+    n, ny, nx = images.shape
+    last_ring = int(ou) if int(ou) != -1 else nx // 2 - 2
+    if yr is None or yr < 0:
+        yr = xr
+    cfg = AlignConfig(img_dim=nx, ring_num=last_ring, ring_len=256,
+                      shift_step=float(ts), shift_rng_x=float(xr),
+                      shift_rng_y=float(yr))
+    imgs_dev, gidx, valid = shard_stack(images, mesh)
+    params = AlignParams.zeros(imgs_dev.shape[0])
+    avg0 = images.mean(0).astype(np.float32)
+    loop = make_device_loop(cfg, n_iter, np.full(n_iter, cutoff, np.float32),
+                            np.full(n_iter, falloff, np.float32), mesh=mesh,
+                            sampler=sampler)
+    params, avg = loop(imgs_dev, avg0, params, gidx, valid)
+    host = AlignParams(*[np.asarray(f)[:n] for f in params])
+    return host, np.asarray(avg)

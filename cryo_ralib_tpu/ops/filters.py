@@ -52,6 +52,25 @@ def filt_tanl(img, cutoff: float, falloff: float):
     return irfft2_mm(f * resp, s=(h, w)).astype(img.dtype)
 
 
+def filt_tanl_dyn(img, cutoff, falloff):
+    """``filt_tanl`` with *traced* cutoff/falloff (jit/scan-safe) — used by
+    the device-resident iteration loop where the per-iteration cutoff
+    schedule is data on device (the CUDA standalone's
+    ``ref_free_alignment_2D_filter_references`` takes them as runtime
+    args, cuda/gpu_aln_noref.cu:777-782)."""
+    img = jnp.asarray(img)
+    h, w = img.shape[-2:]
+    freq = jnp.asarray(_freq_grid(h, w))
+    cutoff = jnp.asarray(cutoff, jnp.float32)
+    falloff = jnp.asarray(falloff, jnp.float32)
+    c = jnp.pi / (2.0 * falloff * cutoff)
+    resp = 0.5 * (jnp.tanh(c * (freq + cutoff)) - jnp.tanh(c * (freq - cutoff)))
+    resp = jnp.where((cutoff > 0.0) & (falloff > 0.0), resp,
+                     jnp.ones_like(resp))
+    f = rfft2_mm(img)
+    return irfft2_mm(f * resp, s=(h, w)).astype(img.dtype)
+
+
 def filt_btwl(img, freq_low: float, freq_high: float):
     """Butterworth low-pass between pass-band ``freq_low`` and stop-band
     ``freq_high`` (EMAN2 ``filt_btwl`` semantics: -3dB at the pass band,
