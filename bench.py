@@ -47,7 +47,7 @@ def _batch(n, seed=0):
     )
 
 
-def _time_step(device, n, shift_chunk, reps):
+def _time_step(device, n, shift_chunk, reps, sampler="auto"):
     images_np, refs_np = _batch(n)
     images = jax.device_put(images_np, device)
     refs = jax.device_put(refs_np, device)
@@ -62,7 +62,7 @@ def _time_step(device, n, shift_chunk, reps):
 
     fn = jax.jit(partial(align_step, cfg=CFG, n_classes=K,
                          shift_chunk=shift_chunk, update_ref=True,
-                         sampler="auto"))
+                         sampler=sampler))
     # NB: on the tunneled TPU platform block_until_ready returns without
     # blocking; a host fetch is the only reliable completion barrier.
     np.asarray(fn(images, refs, fresh_params(), gidx, valid).counts)
@@ -80,7 +80,9 @@ def main():
     accel_pps = _time_step(dev, N_DEV, shift_chunk=8, reps=3)
 
     cpu = jax.devices("cpu")[0]
-    cpu_pps = _time_step(cpu, N_CPU, shift_chunk=4, reps=1)
+    # the XLA-CPU proxy must not pick the Pallas kernels (TPU-only)
+    cpu_pps = _time_step(cpu, N_CPU, shift_chunk=4, reps=1,
+                         sampler="gather")
 
     speedup = accel_pps / cpu_pps
     print(json.dumps({

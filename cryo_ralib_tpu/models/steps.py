@@ -61,22 +61,36 @@ def align_step(images, refs, params: AlignParams, global_index, valid,
       cfg:    static AlignConfig.
       n_classes: static K (must equal refs.shape[0]).
       update_ref: False for the single-reference (reffree) path.
-      sampler: "matmul" = gather-free tent-matmul sampling (the TPU fast
-        path, ops/polar_mm.py), "gather" = exact texture-semantics
-        bilinear gather (fast on CPU), "auto" = pick by backend.
+      sampler: "fused" = fully fused Pallas kernels (single-chip TPU,
+        ops/fused_search.py), "matmul" = gather-free tent-matmul XLA
+        path (ops/polar_mm.py; also the mesh-sharded TPU path), "gather"
+        = exact texture-semantics bilinear gather (fast on CPU),
+        "auto" = pick by backend.
       fast: bf16 MXU mode for the matmul sampler.
     """
     if sampler == "auto":
-        sampler = "matmul" if jax.default_backend() == "tpu" else "gather"
+        if jax.default_backend() == "tpu":
+            from ..ops.fused_search import fused_supported
+
+            # the Pallas custom call does not partition under GSPMD, so
+            # sharded steps use the matmul path (mesh is not visible
+            # here; make_align_step downgrades before jit)
+            sampler = "fused" if fused_supported(cfg, n_classes) else "matmul"
+        else:
+            sampler = "gather"
     ref_fw = prepare_ref_spectra(refs, cfg)
-    if sampler == "matmul":
+    if sampler == "fused":
+        from ..ops.fused_search import fused_search
+
+        result = fused_search(images, ref_fw, params, cfg)
+    elif sampler == "matmul":
         result = rotational_shift_search_mm(images, ref_fw, params, cfg,
                                             fast=fast)
     else:
         result = rotational_shift_search(images, ref_fw, params, cfg,
                                          shift_chunk=shift_chunk)
     new_params = decode_params(result, params, cfg, update_ref=update_ref)
-    if sampler == "matmul":
+    if sampler in ("matmul", "fused"):
         transformed = transform_batch_mm(images, new_params)
     else:
         transformed = transform_batch(images, new_params)
@@ -105,6 +119,11 @@ def make_align_step(cfg: AlignConfig, n_classes: int, shift_chunk: int = 8,
     particles and the class sums/counts/scalars are replicated outputs —
     GSPMD turns the one-hot matmul reduction into an all-reduce over ICI.
     """
+    if mesh is not None and sampler in ("auto", "fused"):
+        # Pallas custom calls do not partition under GSPMD; sharded
+        # steps use the XLA matmul path on TPU (gather on CPU)
+        sampler = ("matmul" if jax.default_backend() == "tpu"
+                   else "gather") if sampler == "auto" else "matmul"
     fn = partial(align_step, cfg=cfg, n_classes=n_classes,
                  shift_chunk=shift_chunk, update_ref=update_ref,
                  sampler=sampler, fast=fast)

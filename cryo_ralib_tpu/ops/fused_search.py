@@ -1,0 +1,356 @@
+"""Fused Pallas search kernels: the whole per-iteration hot loop in VMEM.
+
+The XLA fast path (ops/search.py) is already gather-free, but every
+stage round-trips its intermediate through HBM — the measured cost is
+bandwidth, not FLOPs.  These kernels keep the reference's entire
+``mref_align_run`` pipeline (cuda/gpu_aln_noref.cu:389-416) on-chip:
+
+* **kernel A** (grid: particle tiles x ring blocks): tent-matmul polar
+  sampling for every (dx, dy) grid shift, matmul ring DFT, and the
+  conj-multiply ccf accumulation against every reference (mirror via
+  the conjugate trick) — the ccf *spectra* are the only thing written
+  to HBM, accumulated in VMEM scratch across ring blocks.
+* **kernel B** (grid: particle tiles): matmul inverse DFT of all
+  (mirror, shift, ref) rows and the flat argmax in the reference's
+  priority order (mirror, xi, yi, ref, angle) with first-seen tie
+  breaking (CcfResultTable layout, cuda/gpu_aln_noref.cu:2172-2178),
+  emitting per particle: peak value, angle bin, priority index and the
+  winning 256-angle row for the parabolic refinement.
+
+Frequency-axis layout: 129 rfft bins are zero-padded to 256 lanes and
+re/im halves packed side by side in 512 lanes, so every slice in the
+kernels is 128-aligned.  Zero padding contributes exact zeros to every
+contraction.  Sampling/DFT matmuls run bf16 x bf16 -> f32 (MXU native);
+ccf accumulation is f32.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import AlignConfig
+from ..params import AlignParams
+from .dft import _irfft_mats, _rfft_mats
+from .polar_mm import build_polar_tables, translate_bilinear_mm
+from .search import SearchResult
+
+_NEG = -3.0e38
+L = 256      # ring_len the kernels are specialized to
+F = 129      # rfft bins
+FP = 256     # padded frequency lanes
+NT = 8       # particles per tile (dynamic VMEM row offsets must be 8-aligned)
+
+
+def _pad_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@lru_cache(maxsize=None)
+def _dft_packed():
+    """(256, 512) bf16: [:, 0:129] = cos, [:, 256:385] = sin."""
+    c, s = _rfft_mats(L)
+    out = np.zeros((L, 2 * FP), np.float32)
+    out[:, :F] = c
+    out[:, FP:FP + F] = s
+    return out.astype(jnp.bfloat16)
+
+
+@lru_cache(maxsize=None)
+def _irfft_packed():
+    """(512, 256) bf16: rows [0:129] = Cr, rows [256:385] = Ci."""
+    cr, ci = _irfft_mats(L)
+    out = np.zeros((2 * FP, L), np.float32)
+    out[:F] = cr
+    out[FP:FP + F] = ci
+    return out.astype(jnp.bfloat16)
+
+
+def _kernel_a(img_ref, wxt_ref, wyt_ref, dft_ref, ref_ref,
+              ccf_o_ref, ccf_m_ref, polar_scr, acc_o, acc_m,
+              *, n_dx, n_dy, n_ref, rpb, hp, q_b):
+    rb = pl.program_id(1)
+    n_rows = n_dx * n_dy * NT
+
+    @pl.when(rb == 0)
+    def _():
+        acc_o[:] = jnp.zeros_like(acc_o)
+        acc_m[:] = jnp.zeros_like(acc_m)
+
+    img = img_ref[:].astype(jnp.bfloat16).reshape(NT * hp, 128)
+    for c in range(n_dx):
+        u = jnp.dot(img, wxt_ref[c], preferred_element_type=jnp.float32)
+        u = u.reshape(NT, hp, q_b).astype(jnp.bfloat16)
+        for d in range(n_dy):
+            w = wyt_ref[d]  # (hp, q_b) bf16
+            pol = jnp.sum((u * w[None]).astype(jnp.float32), axis=1)
+            polar_scr[(c * n_dy + d) * NT:(c * n_dy + d + 1) * NT, :] = pol
+
+    for rr in range(rpb):
+        rows = polar_scr[:, rr * L:(rr + 1) * L]            # (rows, 256) f32
+        spec = jnp.dot(rows.astype(jnp.bfloat16), dft_ref[:],
+                       preferred_element_type=jnp.float32)  # (rows, 512)
+        s_re = spec[:, :FP]
+        s_im = spec[:, FP:]
+        for k in range(n_ref):
+            r_re = ref_ref[rr, k, :FP][None]   # (1, 256)
+            r_im = ref_ref[rr, k, FP:][None]
+            a = s_re * r_re
+            b = s_im * r_im
+            ct = s_re * r_im
+            dt = s_im * r_re
+            # k-major accumulators: acc[k] is one contiguous (rows, 512)
+            # block, so these are unit-stride row updates
+            acc_o[k] += jnp.concatenate([a + b, ct - dt], axis=-1)
+            acc_m[k] += jnp.concatenate([a - b, -(ct + dt)], axis=-1)
+        del s_re, s_im
+
+    @pl.when(rb == pl.num_programs(1) - 1)
+    def _():
+        ccf_o_ref[0] = acc_o[:]
+        ccf_m_ref[0] = acc_m[:]
+
+
+def _kernel_b(ccf_o_ref, ccf_m_ref, irf_ref, prio_ref, out_ref, rows_scr,
+              *, n_dx, n_dy, n_ref):
+    n_rows = n_dx * n_dy * NT
+    n_e = 2 * n_dx * n_dy * n_ref
+
+    # inverse DFT: rows laid out [(m*K + k) * n_rows + (c*n_dy + d)*NT + n]
+    for m, ref_buf in ((0, ccf_o_ref), (1, ccf_m_ref)):
+        for k in range(n_ref):
+            packed = ref_buf[0, k]                           # (n_rows, 512)
+            rows = jnp.dot(packed.astype(jnp.bfloat16), irf_ref[:],
+                           preferred_element_type=jnp.float32)
+            rows_scr[(m * n_ref + k) * n_rows:
+                     (m * n_ref + k + 1) * n_rows, :] = rows
+
+    # vectorized priority argmax: prio_ref maps the storage slab index
+    # s = (m*K + k)*n_dxy + (c*n_dy + d) to the reference priority order
+    # e = ((m*n_dx + c)*n_dy + d)*K + k (mirror, x, y, ref)
+    big = jnp.float32(1e9)
+    allr = rows_scr[:].reshape(n_e, NT, L)
+    bv = jnp.max(allr, axis=0)                               # (NT, L)
+    prio = prio_ref[:, 0].reshape(n_e, 1, 1)                 # (n_e, 1, 1)
+    bm = jnp.min(jnp.where(allr == bv[None], prio, big), axis=0)
+
+    vmax = jnp.max(bv, axis=-1, keepdims=True)               # (NT, 1)
+    mask = bv == vmax
+    emin = jnp.min(jnp.where(mask, bm, big), axis=-1, keepdims=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NT, L), 1).astype(jnp.float32)
+    amin = jnp.min(jnp.where(mask & (bm == emin), lane, big),
+                   axis=-1, keepdims=True)
+
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (NT, 128), 1)
+    hdr = (jnp.where(lane128 == 0, vmax, 0.0)
+           + jnp.where(lane128 == 1, amin, 0.0)
+           + jnp.where(lane128 == 2, emin, 0.0))
+    out_ref[0, :, :128] = hdr
+
+    for n in range(NT):
+        e_n = emin[n, 0].astype(jnp.int32)
+        m = e_n // (n_dx * n_dy * n_ref)
+        rest = e_n % (n_dx * n_dy * n_ref)
+        c = rest // (n_dy * n_ref)
+        rest2 = rest % (n_dy * n_ref)
+        d = rest2 // n_ref
+        k = rest2 % n_ref
+        loc = (m * n_ref + k) * n_rows + (c * n_dy + d) * NT
+        slab = rows_scr[pl.ds(loc, NT), :]       # 8-aligned dynamic load
+        out_ref[0, n:n + 1, 128:128 + L] = slab[n:n + 1, :]
+
+
+@lru_cache(maxsize=None)
+def _build_fused(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
+                 n_rings: int, interpret: bool):
+    """Compile-cached pallas_call wrappers for one geometry."""
+    q_b = rpb * L
+    nrb = n_rings // rpb
+    n_rows = n_dx * n_dy * NT
+
+    kern_a = partial(_kernel_a, n_dx=n_dx, n_dy=n_dy, n_ref=n_ref,
+                     rpb=rpb, hp=hp, q_b=q_b)
+    kern_b = partial(_kernel_b, n_dx=n_dx, n_dy=n_dy, n_ref=n_ref)
+
+    def call_a(img, wxt, wyt, dft, refp):
+        t = img.shape[0] // NT
+        return pl.pallas_call(
+            kern_a,
+            grid=(t, nrb),
+            in_specs=[
+                pl.BlockSpec((NT, hp, 128), lambda i, r: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_dx, 128, q_b), lambda i, r: (0, 0, r),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_dy, hp, q_b), lambda i, r: (0, 0, r),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 2 * FP), lambda i, r: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rpb, n_ref, 2 * FP), lambda i, r: (r, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, n_ref, n_rows, 2 * FP),
+                             lambda i, r: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_ref, n_rows, 2 * FP),
+                             lambda i, r: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((t, n_ref, n_rows, 2 * FP), jnp.float32),
+                jax.ShapeDtypeStruct((t, n_ref, n_rows, 2 * FP), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((n_rows, q_b), jnp.float32),
+                pltpu.VMEM((n_ref, n_rows, 2 * FP), jnp.float32),
+                pltpu.VMEM((n_ref, n_rows, 2 * FP), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(img, wxt, wyt, dft, refp)
+
+    n_e = 2 * n_dx * n_dy * n_ref
+
+    def call_b(ccf_o, ccf_m, irf, prio):
+        t = ccf_o.shape[0]
+        return pl.pallas_call(
+            kern_b,
+            grid=(t,),
+            in_specs=[
+                pl.BlockSpec((1, n_ref, n_rows, 2 * FP),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_ref, n_rows, 2 * FP),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * FP, L), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_e, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, NT, 128 + L), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((t, NT, 128 + L), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2 * n_ref * n_rows, L), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(ccf_o, ccf_m, irf, prio)
+
+    return call_a, call_b
+
+
+class FusedTables:
+    """Padded constant tables for the fused kernels (host numpy)."""
+
+    def __init__(self, cfg: AlignConfig):
+        assert cfg.ring_len == L, "fused kernels are specialized to 256"
+        t = build_polar_tables(cfg)
+        h = cfg.img_dim
+        self.hp = _pad_up(h, 8)
+        self.rpb = 2 if cfg.ring_num % 2 == 0 else 1
+        self.n_rings = cfg.ring_num
+        self.n_dx = t.n_dx
+        self.n_dy = t.n_dy
+        q = cfg.ring_num * L
+        # wx: (n_dx, Q, W) -> transposed, W padded to 128
+        wxt = np.zeros((t.n_dx, 128, q), np.float32)
+        wxt[:, :h, :] = np.swapaxes(t.wx, 1, 2)
+        self.wxt = wxt.astype(jnp.bfloat16)
+        wyt = np.zeros((t.n_dy, self.hp, q), np.float32)
+        wyt[:, :h, :] = np.swapaxes(t.wy, 1, 2)
+        self.wyt = wyt.astype(jnp.bfloat16)
+        self.dft = np.asarray(_dft_packed())
+        self.irf = np.asarray(_irfft_packed())
+        # storage-slab -> reference-priority-order map (see _kernel_b)
+        self.n_e = None  # set per K at call time via prio_table
+
+    def prio_table(self, n_ref: int) -> np.ndarray:
+        n_e = 2 * self.n_dx * self.n_dy * n_ref
+        prio = np.zeros((n_e, 128), np.float32)
+        for m in range(2):
+            for k in range(n_ref):
+                for c in range(self.n_dx):
+                    for d in range(self.n_dy):
+                        s = (m * n_ref + k) * self.n_dx * self.n_dy \
+                            + (c * self.n_dy + d)
+                        e = ((m * self.n_dx + c) * self.n_dy + d) * n_ref + k
+                        prio[s, 0] = e
+        return prio
+
+
+def fused_supported(cfg: AlignConfig, n_classes: int) -> bool:
+    """Geometry gate: the kernels are specialized to ring_len 256 and a
+    ccf accumulator that fits VMEM."""
+    if cfg.ring_len != L:
+        return False
+    n_rows = len(cfg.shift_x_vals) * len(cfg.shift_y_vals) * NT
+    acc_bytes = 2 * n_classes * n_rows * 2 * FP * 4
+    return acc_bytes <= 24 * 1024 * 1024
+
+
+def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
+                 tables: FusedTables | None = None,
+                 interpret: bool = False) -> SearchResult:
+    """Drop-in fused-kernel replacement for ``rotational_shift_search_mm``.
+
+    Args:
+      images: (N, H, W) f32 (N padded to a multiple of 4 by the caller
+        or here).
+      ref_fw: (K, R, F) complex64 weighted reference ring spectra
+        (``prepare_ref_spectra``).
+    """
+    if tables is None:
+        tables = FusedTables(cfg)
+    n, h, w = images.shape
+    k = ref_fw.shape[0]
+
+    img_t = translate_bilinear_mm(images, params.shift_x, params.shift_y)
+    n_pad = _pad_up(n, NT)
+    img_p = jnp.zeros((n_pad, tables.hp, 128), jnp.float32)
+    img_p = img_p.at[:n, :h, :w].set(img_t)
+
+    # pack reference spectra: (R, K, 512) with re at [0:129], im at [256:385]
+    re = jnp.real(ref_fw)   # (K, R, F)
+    im = jnp.imag(ref_fw)
+    refp = jnp.zeros((cfg.ring_num, k, 2 * FP), jnp.float32)
+    refp = refp.at[:, :, :F].set(jnp.swapaxes(re, 0, 1))
+    refp = refp.at[:, :, FP:FP + F].set(jnp.swapaxes(im, 0, 1))
+
+    call_a, call_b = _build_fused(tables.n_dx, tables.n_dy, k, tables.hp,
+                                  tables.rpb, tables.n_rings, interpret)
+    ccf_o, ccf_m = call_a(img_p, jnp.asarray(tables.wxt),
+                          jnp.asarray(tables.wyt), jnp.asarray(tables.dft),
+                          refp)
+    out = call_b(ccf_o, ccf_m, jnp.asarray(tables.irf),
+                 jnp.asarray(tables.prio_table(k)))
+    out = out.reshape(n_pad, 128 + L)
+
+    val = out[:n, 0]
+    aidx = out[:n, 1].astype(jnp.int32)
+    e = out[:n, 2].astype(jnp.int32)
+    row = out[:n, 128:128 + L]
+    n_dy = tables.n_dy
+    n_dxy = tables.n_dx * n_dy
+    mirror = e // (n_dxy * k)
+    rest = e % (n_dxy * k)
+    c = rest // (n_dy * k)
+    rest2 = rest % (n_dy * k)
+    d = rest2 // k
+    ref = rest2 % k
+    # global shift index, x-major (config.shifts order)
+    sidx = c * n_dy + d
+    # normalize: the XLA paths use a normalized irfft; the packed irfft
+    # matrix already is, so values match ccf_rows directly.
+    return SearchResult(best_val=val, best_row=row, best_aidx=aidx,
+                        best_sidx=sidx, best_ref=ref, best_mirror=mirror)

@@ -1,0 +1,93 @@
+"""Fused Pallas search kernels (interpret mode on CPU) vs the XLA paths."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from cryo_ralib_tpu.config import AlignConfig
+from cryo_ralib_tpu.ops.fused_search import fused_search, fused_supported
+from cryo_ralib_tpu.ops.search import (decode_params, prepare_ref_spectra,
+                                       rotational_shift_search_mm)
+from cryo_ralib_tpu.params import AlignParams
+from cryo_ralib_tpu.utils.synthetic import class_templates, scattered_stack
+
+
+def _cfg(nx=64, rings=20, xr=2.0):
+    return AlignConfig(img_dim=nx, ring_num=rings, ring_len=256,
+                       shift_step=1.0, shift_rng_x=xr, shift_rng_y=xr)
+
+
+def test_fused_supported_gates():
+    assert fused_supported(_cfg(), 3)
+    assert fused_supported(_cfg(90, 36, 3.0), 8)
+    assert not fused_supported(
+        AlignConfig(img_dim=64, ring_num=20, ring_len=128), 3)
+    assert not fused_supported(_cfg(90, 36, 3.0), 512)  # acc > VMEM
+
+
+def test_fused_matches_matmul_random(rng):
+    n, nx, k = 8, 64, 3
+    cfg = _cfg(nx)
+    imgs = jnp.asarray(rng.standard_normal((n, nx, nx)).astype(np.float32))
+    refs = jnp.asarray(rng.standard_normal((k, nx, nx)).astype(np.float32))
+    rfw = prepare_ref_spectra(refs, cfg)
+    params = AlignParams(
+        jnp.zeros(n), jnp.asarray(rng.integers(-2, 3, n).astype(np.float32)),
+        jnp.asarray(rng.integers(-2, 3, n).astype(np.float32)),
+        jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32))
+    r_mm = rotational_shift_search_mm(imgs, rfw, params, cfg, fast=True)
+    r_fu = fused_search(imgs, rfw, params, cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r_mm.best_aidx),
+                                  np.asarray(r_fu.best_aidx))
+    np.testing.assert_array_equal(np.asarray(r_mm.best_sidx),
+                                  np.asarray(r_fu.best_sidx))
+    np.testing.assert_array_equal(np.asarray(r_mm.best_ref),
+                                  np.asarray(r_fu.best_ref))
+    np.testing.assert_array_equal(np.asarray(r_mm.best_mirror),
+                                  np.asarray(r_fu.best_mirror))
+    va = np.asarray(r_mm.best_val)
+    np.testing.assert_allclose(np.asarray(r_fu.best_val), va,
+                               atol=5e-3 * np.abs(va).max())
+    p_mm = decode_params(r_mm, params, cfg)
+    p_fu = decode_params(r_fu, params, cfg)
+    d = np.abs(np.asarray(p_mm.angle) - np.asarray(p_fu.angle))
+    d = np.minimum(d, 360.0 - d)
+    assert d.max() < 0.05, d.max()
+
+
+def test_fused_recovers_structured(rng):
+    """On well-separated class data the fused search recovers classes and
+    shifts exactly like the exact gather path."""
+    from cryo_ralib_tpu.ops.search import rotational_shift_search
+
+    k, nx, n = 3, 64, 12
+    base = class_templates(k, nx)
+    imgs, cls, _, shifts = scattered_stack(base, n, max_shift=2, seed=23)
+    cfg = _cfg(nx, rings=24)
+    rfw = prepare_ref_spectra(jnp.asarray(base), cfg)
+    params = AlignParams.zeros(n)
+    r_ex = rotational_shift_search(jnp.asarray(imgs), rfw, params, cfg,
+                                   shift_chunk=25)
+    r_fu = fused_search(jnp.asarray(imgs), rfw, params, cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r_ex.best_ref),
+                                  np.asarray(r_fu.best_ref))
+    np.testing.assert_array_equal(np.asarray(r_ex.best_sidx),
+                                  np.asarray(r_fu.best_sidx))
+    assert (np.asarray(r_fu.best_ref) == cls).all()
+
+
+def test_fused_odd_batch_padding(rng):
+    """N not a multiple of the tile size: padded particles are dropped."""
+    n, nx, k = 5, 64, 2
+    cfg = _cfg(nx)
+    imgs = jnp.asarray(rng.standard_normal((n, nx, nx)).astype(np.float32))
+    refs = jnp.asarray(rng.standard_normal((k, nx, nx)).astype(np.float32))
+    rfw = prepare_ref_spectra(refs, cfg)
+    r = fused_search(imgs, rfw, AlignParams.zeros(n), cfg, interpret=True)
+    assert r.best_val.shape == (n,)
+    r_mm = rotational_shift_search_mm(imgs, rfw, AlignParams.zeros(n), cfg,
+                                      fast=True)
+    np.testing.assert_array_equal(np.asarray(r.best_ref),
+                                  np.asarray(r_mm.best_ref))
