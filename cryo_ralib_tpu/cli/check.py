@@ -12,7 +12,6 @@ Usage: python -m cryo_ralib_tpu.cli.check [--mesh N]
 from __future__ import annotations
 
 import argparse
-import sys
 
 
 def _ok(name, detail=""):

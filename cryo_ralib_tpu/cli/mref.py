@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
 
 from .common import (add_common_flags, check_outdir, load_stack,
                      make_mesh_arg, print_device_info, writeback_headers)

@@ -9,7 +9,6 @@ module is the always-available fallback and the format authority.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 import numpy as np

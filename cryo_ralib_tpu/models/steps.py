@@ -91,7 +91,7 @@ def align_step(images, refs, params: AlignParams, global_index, valid,
                                          shift_chunk=shift_chunk)
     new_params = decode_params(result, params, cfg, update_ref=update_ref)
     if sampler in ("matmul", "fused"):
-        transformed = transform_batch_mm(images, new_params)
+        transformed = transform_batch_mm(images, new_params, fast=fast)
     else:
         transformed = transform_batch(images, new_params)
     sums, counts = class_sum_oe(transformed, new_params.ref_id, n_classes,

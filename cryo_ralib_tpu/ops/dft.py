@@ -63,12 +63,25 @@ def _dft_mats(n: int):
     return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
 
 
-def rfft_mm(x, axis: int = -1):
-    """np.fft.rfft-equivalent via two real matmuls. x real (..., n) -> complex64."""
+def rfft_mm(x, axis: int = -1, fast: bool = False):
+    """np.fft.rfft-equivalent via two real matmuls. x real (..., n) -> complex64.
+
+    ``fast`` runs the matmuls bf16 x bf16 -> f32 (MXU native; ~0.4%
+    relative error) instead of full f32."""
     if axis != -1:
         x = jnp.moveaxis(x, axis, -1)
     n = x.shape[-1]
     c, s = _rfft_mats(n)
+    if fast:
+        xb = x.astype(jnp.bfloat16)
+        re = jnp.matmul(xb, jnp.asarray(c).astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        im = jnp.matmul(xb, jnp.asarray(s).astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        out = jax.lax.complex(re, im)
+        if axis != -1:
+            out = jnp.moveaxis(out, -1, axis)
+        return out
     re = jnp.matmul(x, jnp.asarray(c), precision=_HP)
     im = jnp.matmul(x, jnp.asarray(s), precision=_HP)
     out = jax.lax.complex(re, im)
@@ -77,14 +90,19 @@ def rfft_mm(x, axis: int = -1):
     return out
 
 
-def irfft_mm(X, n: int, axis: int = -1):
+def irfft_mm(X, n: int, axis: int = -1, fast: bool = False):
     """np.fft.irfft-equivalent (normalized) via one real matmul on [Re|Im]."""
     if axis != -1:
         X = jnp.moveaxis(X, axis, -1)
     cr, ci = _irfft_mats(n)
     mat = jnp.asarray(np.concatenate([cr, ci], axis=0))  # (2F, n)
     stacked = jnp.concatenate([jnp.real(X), jnp.imag(X)], axis=-1)
-    out = jnp.matmul(stacked, mat, precision=_HP)
+    if fast:
+        out = jnp.matmul(stacked.astype(jnp.bfloat16),
+                         mat.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jnp.matmul(stacked, mat, precision=_HP)
     if axis != -1:
         out = jnp.moveaxis(out, -1, axis)
     return out

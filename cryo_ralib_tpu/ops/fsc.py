@@ -8,7 +8,6 @@ reffree driver, test_reffree_gpu_align.py:384-386) and ``sp_filter.fit_tanh``
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -266,10 +266,17 @@ def decode_params(
     step = 360.0 / ring_len
 
     # 7-point window around the peak, circular in angle (modulo ring_len,
-    # as in the CUDA code which wraps with % ring_len)
-    offs = jnp.arange(-3, 4, dtype=jnp.int32)[None, :]
-    gather_idx = (result.best_aidx[:, None] + offs) % ring_len
-    x = jnp.take_along_axis(result.best_row, gather_idx, axis=1)  # (N, 7)
+    # as in the CUDA code which wraps with % ring_len).  Gather-free: a
+    # one-hot of the peak bin dotted against 7 static rolls of the row —
+    # dynamic per-particle gathers are slow on TPU.
+    onehot = (jnp.arange(ring_len, dtype=jnp.int32)[None, :]
+              == result.best_aidx[:, None]).astype(result.best_row.dtype)
+    cols = []
+    for i in range(-3, 4):
+        # x_i[n] = row[n, (aidx + i) % L] = sum_a row[n, a] onehot[n, a - i]
+        cols.append(jnp.sum(result.best_row * jnp.roll(onehot, i, axis=1),
+                            axis=1))
+    x = jnp.stack(cols, axis=1)  # (N, 7)
 
     c2 = (49.0 * x[:, 0] + 6.0 * x[:, 1] - 21.0 * x[:, 2] - 32.0 * x[:, 3]
           - 27.0 * x[:, 4] - 6.0 * x[:, 5] + 31.0 * x[:, 6])
@@ -285,9 +292,13 @@ def decode_params(
     angle_m = jnp.where(angle_m >= 360.0, angle_m - 360.0, angle_m)
     angle = jnp.where(mirrored, angle_m, angle)
 
-    shift_grid = jnp.asarray(cfg.shifts)
-    dsx = jnp.take(shift_grid[:, 0], result.best_sidx)
-    dsy = jnp.take(shift_grid[:, 1], result.best_sidx)
+    # shift lookup as a one-hot matmul (gather-free)
+    shift_grid = jnp.asarray(cfg.shifts)  # (S, 2)
+    s_onehot = (jnp.arange(shift_grid.shape[0], dtype=jnp.int32)[None, :]
+                == result.best_sidx[:, None]).astype(jnp.float32)
+    ds = s_onehot @ shift_grid  # (N, 2)
+    dsx = ds[:, 0]
+    dsy = ds[:, 1]
     limit = cfg.shift_limit
     new_sx = jnp.clip(params.shift_x + dsx, -limit, limit)
     new_sy = jnp.clip(params.shift_y + dsy, -limit, limit)

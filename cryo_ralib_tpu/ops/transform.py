@@ -75,27 +75,29 @@ def _flip_edge(arr, axis):
     return jnp.concatenate([last, body], axis=axis)
 
 
-def _translate_rows(img, t):
+def _translate_rows(img, t, fast: bool = False):
     """Per-row sub-pixel x-translation via DFT phase ramp.
 
     img: (N, P, P); t: (N, P) shift amounts (out[y, x] = in[y, x + t[y]],
     periodic).  Exact for bandlimited content; the caller pads so content
-    never wraps.
+    never wraps.  ``fast`` = bf16 DFT matmuls (phase ramps stay f32).
     """
     p = img.shape[-1]
-    f = rfft_mm(img, axis=-1)                       # (N, P, F)
+    f = rfft_mm(img, axis=-1, fast=fast)            # (N, P, F)
     k = jnp.arange(p // 2 + 1, dtype=jnp.float32)
     phase = 2.0 * jnp.pi * k[None, None, :] * t[:, :, None] / p
     ramp = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
-    return irfft_mm(f * ramp, n=p, axis=-1)
+    return irfft_mm(f * ramp, n=p, axis=-1, fast=fast)
 
 
-def _translate_cols(img, t):
+def _translate_cols(img, t, fast: bool = False):
     """Per-column sub-pixel y-translation (out[y, x] = in[y + t[x], x])."""
-    return jnp.swapaxes(_translate_rows(jnp.swapaxes(img, -1, -2), t), -1, -2)
+    return jnp.swapaxes(_translate_rows(jnp.swapaxes(img, -1, -2), t, fast),
+                        -1, -2)
 
 
-def transform_batch_mm(images, params: AlignParams, pad_to: int | None = None):
+def transform_batch_mm(images, params: AlignParams, pad_to: int | None = None,
+                       fast: bool = False):
     """Gather-free ``transform_batch``: FFT-shear rotation on the MXU.
 
     Same warp as ``transform_batch`` (mirror -> rotate by +angle about
@@ -156,13 +158,14 @@ def transform_batch_mm(images, params: AlignParams, pad_to: int | None = None):
     cols = jnp.arange(pad_to, dtype=jnp.float32)[None, :] - cp  # x - cx
 
     # pass 1: y-translate by syr (see docstring: img1 = img(p + s))
-    out = _translate_cols(base, jnp.broadcast_to(syr[:, None], (n, pad_to)))
+    out = _translate_cols(base, jnp.broadcast_to(syr[:, None], (n, pad_to)),
+                          fast)
     # pass 2: x-translate by a*(y-cy) + sxr  (first shear + x shift)
-    out = _translate_rows(out, a[:, None] * rows + sxr[:, None])
+    out = _translate_rows(out, a[:, None] * rows + sxr[:, None], fast)
     # pass 3: y-translate by b*(x-cx)
-    out = _translate_cols(out, b[:, None] * cols)
+    out = _translate_cols(out, b[:, None] * cols, fast)
     # pass 4: x-translate by a*(y-cy)
-    out = _translate_rows(out, a[:, None] * rows)
+    out = _translate_rows(out, a[:, None] * rows, fast)
 
     out = out[:, off:off + h, off:off + w]
 

@@ -18,6 +18,20 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host setup: call once per process before building a mesh.
+
+    Thin wrapper over ``jax.distributed.initialize`` (coordinator address
+    etc. from the environment on TPU pods).  After this,
+    ``make_mesh()`` over ``jax.devices()`` spans the whole pod and the
+    drivers' class-sum all-reduce rides ICI within slices / DCN across —
+    the role the reference fills with mpirun + pydusa (SURVEY.md §2.3).
+    """
+    import jax.distributed
+
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     """1-D 'dp' mesh over the first ``n_devices`` (default: all)."""
     if devices is None:
