@@ -49,7 +49,7 @@ def _header_shift_sums(params: AlignParams, valid):
 def align_step(images, refs, params: AlignParams, global_index, valid,
                cfg: AlignConfig, *, n_classes: int, shift_chunk: int = 8,
                update_ref: bool = True, sampler: str = "auto",
-               fast: bool = True) -> StepOutput:
+               fast: bool = True, axis_name: str | None = None) -> StepOutput:
     """One alignment iteration over one resident batch (trace-level fn).
 
     Args:
@@ -61,12 +61,15 @@ def align_step(images, refs, params: AlignParams, global_index, valid,
       cfg:    static AlignConfig.
       n_classes: static K (must equal refs.shape[0]).
       update_ref: False for the single-reference (reffree) path.
-      sampler: "fused" = fully fused Pallas kernels (single-chip TPU,
+      sampler: "fused" = fully fused Pallas kernels (TPU,
         ops/fused_search.py), "matmul" = gather-free tent-matmul XLA
-        path (ops/polar_mm.py; also the mesh-sharded TPU path), "gather"
+        path (ops/polar_mm.py; the GSPMD-sharded TPU path), "gather"
         = exact texture-semantics bilinear gather (fast on CPU),
         "auto" = pick by backend.
       fast: bf16 MXU mode for the matmul sampler.
+      axis_name: set when running under shard_map over a particle mesh
+        axis — class sums/counts and the centering accumulators are
+        psum'd over it (the reference's reduce_EMData_to_root).
     """
     if sampler == "auto":
         if jax.default_backend() == "tpu":
@@ -97,6 +100,11 @@ def align_step(images, refs, params: AlignParams, global_index, valid,
     sums, counts = class_sum_oe(transformed, new_params.ref_id, n_classes,
                                 global_index=global_index, valid=valid)
     sx_sum, sy_sum = _header_shift_sums(new_params, valid)
+    if axis_name is not None:
+        sums = jax.lax.psum(sums, axis_name)
+        counts = jax.lax.psum(counts, axis_name)
+        sx_sum = jax.lax.psum(sx_sum, axis_name)
+        sy_sum = jax.lax.psum(sy_sum, axis_name)
     peak = jnp.where(valid > 0, result.best_val, 0.0) if valid is not None else result.best_val
     return StepOutput(new_params, sums, counts, peak, sx_sum, sy_sum)
 
@@ -112,18 +120,39 @@ def raw_sum_step(images, global_index, valid, *, n_classes: int = 1):
 
 def make_align_step(cfg: AlignConfig, n_classes: int, shift_chunk: int = 8,
                     update_ref: bool = True, mesh=None, donate: bool = True,
-                    sampler: str = "auto", fast: bool = True):
+                    sampler: str = "auto", fast: bool = True,
+                    dist: str = "auto"):
     """Build the jitted step, optionally sharded over a mesh's 'dp' axis.
 
-    With a mesh, images/params/global_index/valid are sharded over
-    particles and the class sums/counts/scalars are replicated outputs —
-    GSPMD turns the one-hot matmul reduction into an all-reduce over ICI.
+    Two distribution modes over a mesh:
+      "gspmd" — jit with in/out shardings; XLA inserts the class-sum
+        all-reduce.  Works with every XLA sampler, and is the only mode
+        supporting the 2-D ('dp','ref') large-K mesh.
+      "shard_map" — manual SPMD with an explicit psum inside the step;
+        required for the fused Pallas kernels (custom calls do not
+        partition under GSPMD).
+    "auto" picks shard_map when the fused sampler is usable (TPU, 1-D
+    dp mesh, supported geometry), else gspmd with the matmul sampler.
     """
-    if mesh is not None and sampler in ("auto", "fused"):
-        # Pallas custom calls do not partition under GSPMD; sharded
-        # steps use the XLA matmul path on TPU (gather on CPU)
-        sampler = ("matmul" if jax.default_backend() == "tpu"
-                   else "gather") if sampler == "auto" else "matmul"
+    if mesh is not None:
+        from ..ops.fused_search import fused_supported
+
+        fused_ok = (jax.default_backend() == "tpu"
+                    and "ref" not in mesh.axis_names
+                    and fused_supported(cfg, n_classes)
+                    and sampler in ("auto", "fused"))
+        if dist == "auto":
+            dist = "shard_map" if fused_ok else "gspmd"
+        if dist == "shard_map":
+            if sampler == "auto":
+                sampler = "fused" if fused_ok else (
+                    "matmul" if jax.default_backend() == "tpu" else "gather")
+            return _make_shard_map_step(cfg, n_classes, shift_chunk,
+                                        update_ref, mesh, sampler, fast)
+        if sampler in ("auto", "fused"):
+            # GSPMD cannot partition the Pallas custom call
+            sampler = ("matmul" if jax.default_backend() == "tpu"
+                       else "gather") if sampler == "auto" else "matmul"
     fn = partial(align_step, cfg=cfg, n_classes=n_classes,
                  shift_chunk=shift_chunk, update_ref=update_ref,
                  sampler=sampler, fast=fast)
@@ -145,3 +174,23 @@ def make_align_step(cfg: AlignConfig, n_classes: int, shift_chunk: int = 8,
     if donate:
         kwargs["donate_argnums"] = (2,)  # params buffer
     return jax.jit(fn, **kwargs)
+
+
+def _make_shard_map_step(cfg, n_classes, shift_chunk, update_ref, mesh,
+                         sampler, fast):
+    """shard_map distribution: every device runs the full step on its
+    particle shard (Pallas kernels included); class sums/counts psum over
+    'dp' inside (see align_step axis_name)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fn = partial(align_step, cfg=cfg, n_classes=n_classes,
+                 shift_chunk=shift_chunk, update_ref=update_ref,
+                 sampler=sampler, fast=fast, axis_name="dp")
+    pspec = AlignParams(*([P("dp")] * 5))
+    smapped = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P("dp"), P(), pspec, P("dp"), P("dp")),
+        out_specs=StepOutput(pspec, P(), P(), P("dp"), P(), P()),
+        check_rep=False)
+    return jax.jit(smapped, donate_argnums=(2,))

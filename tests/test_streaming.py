@@ -98,3 +98,33 @@ def test_mref_driver_streamed(tmp_path, rng):
     np.testing.assert_array_equal(res_r.assignments, res_s.assignments)
     np.testing.assert_allclose(res_r.params, res_s.params, atol=1e-3)
     np.testing.assert_array_equal(res_r.class_counts, res_s.class_counts)
+
+
+def test_shard_map_equals_gspmd(rng):
+    """Manual-SPMD (shard_map + in-step psum) matches the GSPMD step."""
+    import jax.numpy as jnp
+
+    from cryo_ralib_tpu.models.steps import make_align_step
+    from cryo_ralib_tpu.parallel.mesh import make_mesh, shard_stack
+    from cryo_ralib_tpu.params import AlignParams
+
+    base = make_class_bases(2, 64)
+    imgs = (base[rng.integers(0, 2, 16)]
+            + rng.normal(0, 0.05, (16, 64, 64))).astype(np.float32)
+    cfg = AlignConfig(img_dim=64, ring_num=24, ring_len=256, shift_step=1.0,
+                      shift_rng_x=1.0, shift_rng_y=1.0)
+    mesh = make_mesh(8)
+    refs = jnp.asarray(base)
+    outs = []
+    for dist in ("gspmd", "shard_map"):
+        imgs_dev, gidx, valid = shard_stack(imgs, mesh)
+        step = make_align_step(cfg, 2, update_ref=True, mesh=mesh,
+                               sampler="gather", dist=dist)
+        outs.append(step(imgs_dev, refs, AlignParams.zeros(16), gidx, valid))
+    o1, o2 = outs
+    np.testing.assert_array_equal(np.asarray(o1.counts), np.asarray(o2.counts))
+    np.testing.assert_array_equal(np.asarray(o1.params.ref_id),
+                                  np.asarray(o2.params.ref_id))
+    np.testing.assert_allclose(np.asarray(o1.class_sums),
+                               np.asarray(o2.class_sums), atol=1e-4)
+    np.testing.assert_allclose(float(o1.sx_sum), float(o2.sx_sum), atol=1e-4)
