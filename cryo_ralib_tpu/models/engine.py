@@ -56,8 +56,19 @@ class AlignmentEngine:
         self.mesh = mesh
         n_dev = mesh.shape["dp"] if mesh is not None else 1
         if batch_size is None:
+            import jax as _jax
+
+            from ..ops.fused_search import fused_supported
+
+            plan_sampler = "matmul"
+            if (sampler in ("auto", "fused")
+                    and _jax.default_backend() == "tpu"
+                    and fused_supported(cfg, n_classes)
+                    and (mesh is None or "ref" not in mesh.axis_names)):
+                plan_sampler = "fused"
             batch_size = plan_batch_size(self.n, n_classes, cfg,
-                                         n_devices=n_dev, verbose=verbose)
+                                         n_devices=n_dev, verbose=verbose,
+                                         sampler=plan_sampler)
         if mesh is not None:  # batches shard evenly over the dp axis
             d = mesh.shape["dp"]
             batch_size = ((batch_size + d - 1) // d) * d

@@ -21,9 +21,11 @@ from __future__ import annotations
 import os
 import random as _random
 from dataclasses import dataclass, field
+from functools import partial
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..config import AlignConfig
@@ -103,10 +105,11 @@ def mref_ali2d_tpu(
     # reference's inline comments have them swapped): refs get no_sigma=1
     # (mean-subtract only), particles no_sigma=0 (scaled to N(0,1) under
     # the mask); test_mref_gpu_align.py:336,342.
-    refi = np.asarray(normalize_mask(jnp.asarray(refs), mask_j, no_sigma=True),
-                      np.float32)
-    data = np.asarray(normalize_mask(jnp.asarray(images), mask_j,
-                                     no_sigma=False), np.float32)
+    # (jitted: eager ops on big stacks are transfer-bound on tunneled devices)
+    _prep = jax.jit(partial(normalize_mask, no_sigma=False))
+    _prep_ref = jax.jit(partial(normalize_mask, no_sigma=True))
+    refi = np.asarray(_prep_ref(jnp.asarray(refs), mask_j), np.float32)
+    data = np.asarray(_prep(jnp.asarray(images), mask_j), np.float32)
 
     rng = _random.Random(rand_seed)
 

@@ -24,6 +24,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..config import AlignConfig
@@ -100,8 +101,12 @@ def ali2d_base_tpu(
 
     # preprocessing: subtract the mean under the mask
     # (Util.infomask + "data[im] -= st[0]", test_reffree_gpu_align.py:276-278)
-    mean, _sigma = infomask(jnp.asarray(images), mask_j)
-    data = np.asarray(jnp.asarray(images) - mean[:, None, None], np.float32)
+    # (jitted: eager ops on big stacks are transfer-bound on tunneled devices)
+    def _prep(imgs, mask):
+        mean, _sigma = infomask(imgs, mask)
+        return imgs - mean[:, None, None]
+
+    data = np.asarray(jax.jit(_prep)(jnp.asarray(images), mask_j), np.float32)
 
     engine = AlignmentEngine(data, cfg, n_classes=1, mesh=mesh,
                              sampler=sampler, update_ref=False,

@@ -72,11 +72,15 @@ def _irfft_packed():
     return out.astype(jnp.bfloat16)
 
 
-def _kernel_a(img_ref, wxt_ref, wyt_ref, dft_ref, ref_ref,
-              ccf_o_ref, ccf_m_ref, polar_scr, acc_o, acc_m,
-              *, n_dx, n_dy, n_ref, rpb, hp, q_b):
+def _kernel_fused(img_ref, wxt_ref, wyt_ref, dft_ref, ref_ref, irf_ref,
+                  prio_ref, out_ref, polar_scr, acc_o, acc_m, rows_scr,
+                  *, n_dx, n_dy, n_ref, rpb, hp, q_b):
+    """One kernel = the whole search: polar sample + ring DFT + ccf
+    accumulation per ring block, then (last block) inverse DFT + priority
+    argmax.  Nothing but the per-particle result leaves VMEM."""
     rb = pl.program_id(1)
     n_rows = n_dx * n_dy * NT
+    n_e = 2 * n_dx * n_dy * n_ref
 
     @pl.when(rb == 0)
     def _():
@@ -113,75 +117,67 @@ def _kernel_a(img_ref, wxt_ref, wyt_ref, dft_ref, ref_ref,
 
     @pl.when(rb == pl.num_programs(1) - 1)
     def _():
-        ccf_o_ref[0] = acc_o[:]
-        ccf_m_ref[0] = acc_m[:]
+        # inverse DFT: rows laid out [(m*K+k)*n_rows + (c*n_dy+d)*NT + n]
+        for m, acc in ((0, acc_o), (1, acc_m)):
+            for k in range(n_ref):
+                packed = acc[k]                              # (n_rows, 512)
+                rows = jnp.dot(packed.astype(jnp.bfloat16), irf_ref[:],
+                               preferred_element_type=jnp.float32)
+                rows_scr[(m * n_ref + k) * n_rows:
+                         (m * n_ref + k + 1) * n_rows, :] = rows
 
+        # vectorized priority argmax: prio_ref maps the storage slab
+        # index s = (m*K + k)*n_dxy + (c*n_dy + d) to the reference
+        # priority order e = ((m*n_dx + c)*n_dy + d)*K + k
+        big = jnp.float32(1e9)
+        allr = rows_scr[:].reshape(n_e, NT, L)
+        bv = jnp.max(allr, axis=0)                           # (NT, L)
+        prio = prio_ref[:, 0].reshape(n_e, 1, 1)
+        bm = jnp.min(jnp.where(allr == bv[None], prio, big), axis=0)
 
-def _kernel_b(ccf_o_ref, ccf_m_ref, irf_ref, prio_ref, out_ref, rows_scr,
-              *, n_dx, n_dy, n_ref):
-    n_rows = n_dx * n_dy * NT
-    n_e = 2 * n_dx * n_dy * n_ref
+        vmax = jnp.max(bv, axis=-1, keepdims=True)           # (NT, 1)
+        mask = bv == vmax
+        emin = jnp.min(jnp.where(mask, bm, big), axis=-1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (NT, L),
+                                        1).astype(jnp.float32)
+        amin = jnp.min(jnp.where(mask & (bm == emin), lane, big),
+                       axis=-1, keepdims=True)
 
-    # inverse DFT: rows laid out [(m*K + k) * n_rows + (c*n_dy + d)*NT + n]
-    for m, ref_buf in ((0, ccf_o_ref), (1, ccf_m_ref)):
-        for k in range(n_ref):
-            packed = ref_buf[0, k]                           # (n_rows, 512)
-            rows = jnp.dot(packed.astype(jnp.bfloat16), irf_ref[:],
-                           preferred_element_type=jnp.float32)
-            rows_scr[(m * n_ref + k) * n_rows:
-                     (m * n_ref + k + 1) * n_rows, :] = rows
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (NT, 128), 1)
+        hdr = (jnp.where(lane128 == 0, vmax, 0.0)
+               + jnp.where(lane128 == 1, amin, 0.0)
+               + jnp.where(lane128 == 2, emin, 0.0))
+        out_ref[0, :, :128] = hdr
 
-    # vectorized priority argmax: prio_ref maps the storage slab index
-    # s = (m*K + k)*n_dxy + (c*n_dy + d) to the reference priority order
-    # e = ((m*n_dx + c)*n_dy + d)*K + k (mirror, x, y, ref)
-    big = jnp.float32(1e9)
-    allr = rows_scr[:].reshape(n_e, NT, L)
-    bv = jnp.max(allr, axis=0)                               # (NT, L)
-    prio = prio_ref[:, 0].reshape(n_e, 1, 1)                 # (n_e, 1, 1)
-    bm = jnp.min(jnp.where(allr == bv[None], prio, big), axis=0)
-
-    vmax = jnp.max(bv, axis=-1, keepdims=True)               # (NT, 1)
-    mask = bv == vmax
-    emin = jnp.min(jnp.where(mask, bm, big), axis=-1, keepdims=True)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (NT, L), 1).astype(jnp.float32)
-    amin = jnp.min(jnp.where(mask & (bm == emin), lane, big),
-                   axis=-1, keepdims=True)
-
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (NT, 128), 1)
-    hdr = (jnp.where(lane128 == 0, vmax, 0.0)
-           + jnp.where(lane128 == 1, amin, 0.0)
-           + jnp.where(lane128 == 2, emin, 0.0))
-    out_ref[0, :, :128] = hdr
-
-    for n in range(NT):
-        e_n = emin[n, 0].astype(jnp.int32)
-        m = e_n // (n_dx * n_dy * n_ref)
-        rest = e_n % (n_dx * n_dy * n_ref)
-        c = rest // (n_dy * n_ref)
-        rest2 = rest % (n_dy * n_ref)
-        d = rest2 // n_ref
-        k = rest2 % n_ref
-        loc = (m * n_ref + k) * n_rows + (c * n_dy + d) * NT
-        slab = rows_scr[pl.ds(loc, NT), :]       # 8-aligned dynamic load
-        out_ref[0, n:n + 1, 128:128 + L] = slab[n:n + 1, :]
+        for n in range(NT):
+            e_n = emin[n, 0].astype(jnp.int32)
+            m = e_n // (n_dx * n_dy * n_ref)
+            rest = e_n % (n_dx * n_dy * n_ref)
+            c = rest // (n_dy * n_ref)
+            rest2 = rest % (n_dy * n_ref)
+            d = rest2 // n_ref
+            k = rest2 % n_ref
+            loc = (m * n_ref + k) * n_rows + (c * n_dy + d) * NT
+            slab = rows_scr[pl.ds(loc, NT), :]   # 8-aligned dynamic load
+            out_ref[0, n:n + 1, 128:128 + L] = slab[n:n + 1, :]
 
 
 @lru_cache(maxsize=None)
 def _build_fused(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
                  n_rings: int, interpret: bool):
-    """Compile-cached pallas_call wrappers for one geometry."""
+    """Compile-cached pallas_call wrapper for one geometry."""
     q_b = rpb * L
     nrb = n_rings // rpb
     n_rows = n_dx * n_dy * NT
+    n_e = 2 * n_dx * n_dy * n_ref
 
-    kern_a = partial(_kernel_a, n_dx=n_dx, n_dy=n_dy, n_ref=n_ref,
-                     rpb=rpb, hp=hp, q_b=q_b)
-    kern_b = partial(_kernel_b, n_dx=n_dx, n_dy=n_dy, n_ref=n_ref)
+    kern = partial(_kernel_fused, n_dx=n_dx, n_dy=n_dy, n_ref=n_ref,
+                   rpb=rpb, hp=hp, q_b=q_b)
 
-    def call_a(img, wxt, wyt, dft, refp):
+    def call(img, wxt, wyt, dft, refp, irf, prio):
         t = img.shape[0] // NT
         return pl.pallas_call(
-            kern_a,
+            kern,
             grid=(t, nrb),
             in_specs=[
                 pl.BlockSpec((NT, hp, 128), lambda i, r: (i, 0, 0),
@@ -194,60 +190,26 @@ def _build_fused(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((rpb, n_ref, 2 * FP), lambda i, r: (r, 0, 0),
                              memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, n_ref, n_rows, 2 * FP),
-                             lambda i, r: (i, 0, 0, 0),
+                pl.BlockSpec((2 * FP, L), lambda i, r: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_ref, n_rows, 2 * FP),
-                             lambda i, r: (i, 0, 0, 0),
+                pl.BlockSpec((n_e, 128), lambda i, r: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_shape=[
-                jax.ShapeDtypeStruct((t, n_ref, n_rows, 2 * FP), jnp.float32),
-                jax.ShapeDtypeStruct((t, n_ref, n_rows, 2 * FP), jnp.float32),
-            ],
+            out_specs=pl.BlockSpec((1, NT, 128 + L), lambda i, r: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((t, NT, 128 + L), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((n_rows, q_b), jnp.float32),
                 pltpu.VMEM((n_ref, n_rows, 2 * FP), jnp.float32),
                 pltpu.VMEM((n_ref, n_rows, 2 * FP), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(img, wxt, wyt, dft, refp)
-
-    n_e = 2 * n_dx * n_dy * n_ref
-
-    def call_b(ccf_o, ccf_m, irf, prio):
-        t = ccf_o.shape[0]
-        return pl.pallas_call(
-            kern_b,
-            grid=(t,),
-            in_specs=[
-                pl.BlockSpec((1, n_ref, n_rows, 2 * FP),
-                             lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_ref, n_rows, 2 * FP),
-                             lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((2 * FP, L), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_e, 128), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, NT, 128 + L), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((t, NT, 128 + L), jnp.float32),
-            scratch_shapes=[
                 pltpu.VMEM((2 * n_ref * n_rows, L), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(ccf_o, ccf_m, irf, prio)
+        )(img, wxt, wyt, dft, refp, irf, prio)
 
-    return call_a, call_b
+    return call
 
 
 class FusedTables:
@@ -327,13 +289,11 @@ def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
     refp = refp.at[:, :, :F].set(jnp.swapaxes(re, 0, 1))
     refp = refp.at[:, :, FP:FP + F].set(jnp.swapaxes(im, 0, 1))
 
-    call_a, call_b = _build_fused(tables.n_dx, tables.n_dy, k, tables.hp,
-                                  tables.rpb, tables.n_rings, interpret)
-    ccf_o, ccf_m = call_a(img_p, jnp.asarray(tables.wxt),
-                          jnp.asarray(tables.wyt), jnp.asarray(tables.dft),
-                          refp)
-    out = call_b(ccf_o, ccf_m, jnp.asarray(tables.irf),
-                 jnp.asarray(tables.prio_table(k)))
+    call = _build_fused(tables.n_dx, tables.n_dy, k, tables.hp,
+                        tables.rpb, tables.n_rings, interpret)
+    out = call(img_p, jnp.asarray(tables.wxt), jnp.asarray(tables.wyt),
+               jnp.asarray(tables.dft), refp, jnp.asarray(tables.irf),
+               jnp.asarray(tables.prio_table(k)))
     out = out.reshape(n_pad, 128 + L)
 
     val = out[:n, 0]

@@ -59,8 +59,8 @@ class StepFootprint:
                       + self.ccf_rows, self.transform))
 
 
-def step_footprint(batch: int, n_refs: int, cfg, pad_to: int | None = None
-                   ) -> StepFootprint:
+def step_footprint(batch: int, n_refs: int, cfg, pad_to: int | None = None,
+                   sampler: str = "matmul") -> StepFootprint:
     """Closed-form memory model of ``align_step`` with the matmul sampler.
 
     Mirrors what ``pre_align_size_check`` accounts for (texture memory,
@@ -78,13 +78,21 @@ def step_footprint(batch: int, n_refs: int, cfg, pad_to: int | None = None
     images = batch * h * h * f32
     # translate_bilinear_mm: per-particle tent matrices + translated copy
     translate = batch * (2 * h * h + h * h) * f32
-    # polar_group_mm: T (N, Q, W) in bf16 + polar chunk (N, n_dx, Q)
-    polar_chunk = batch * q * h * 2 + batch * n_dx * q * f32
-    # subject spectra (complex64) + ccf spectra orig+mirr
-    spectra = batch * n_dx * cfg.ring_num * n_freq * 8 \
-        + 2 * batch * n_dx * n_refs * n_freq * 8
-    # irfft'd rows (N, 2, n_dx, K, L)
-    ccf_rows = 2 * batch * n_dx * n_refs * cfg.ring_len * f32
+    if sampler == "fused":
+        # the fused Pallas kernel keeps polar/spectra/ccf rows in VMEM;
+        # HBM only holds the padded input and the packed result
+        hp = ((h + 7) // 8) * 8
+        polar_chunk = batch * hp * 128 * f32          # padded kernel input
+        spectra = 0
+        ccf_rows = batch * (128 + cfg.ring_len) * f32  # packed result
+    else:
+        # polar_group_mm: T (N, Q, W) in bf16 + polar chunk (N, n_dx, Q)
+        polar_chunk = batch * q * h * 2 + batch * n_dx * q * f32
+        # subject spectra (complex64) + ccf spectra orig+mirr
+        spectra = batch * n_dx * cfg.ring_num * n_freq * 8 \
+            + 2 * batch * n_dx * n_refs * n_freq * 8
+        # irfft'd rows (N, 2, n_dx, K, L)
+        ccf_rows = 2 * batch * n_dx * n_refs * cfg.ring_len * f32
     # FFT-shear transform: padded image + spectra (complex) x2 buffers
     transform = batch * (4 * pad_to * pad_to + 2 * pad_to * (pad_to + 2)) * f32
     # constant tent tables (replicated per device)
@@ -95,7 +103,7 @@ def step_footprint(batch: int, n_refs: int, cfg, pad_to: int | None = None
 
 def plan_batch_size(n: int, n_refs: int, cfg, limit_bytes: int | None = None,
                     occupancy: float = 0.7, n_devices: int = 1,
-                    verbose: bool = False) -> int:
+                    verbose: bool = False, sampler: str = "matmul") -> int:
     """Largest power-of-2 per-device batch whose footprint fits
     ``occupancy * limit`` (the reference requests 0.9 of free GPU memory;
     we default lower because XLA needs scratch headroom).
@@ -108,12 +116,12 @@ def plan_batch_size(n: int, n_refs: int, cfg, limit_bytes: int | None = None,
     budget = int(limit_bytes * occupancy)
     per_dev = 1
     while per_dev < n:
-        fp = step_footprint(per_dev * 2, n_refs, cfg)
+        fp = step_footprint(per_dev * 2, n_refs, cfg, sampler=sampler)
         if fp.total > budget:
             break
         per_dev *= 2
     if verbose:
-        fp = step_footprint(per_dev, n_refs, cfg)
+        fp = step_footprint(per_dev, n_refs, cfg, sampler=sampler)
         print(f"batch plan: {per_dev}/device x {n_devices} devices "
               f"(budget {budget / 2**30:.2f} GiB)")
         for name in ("images", "translate", "polar_chunk", "spectra",

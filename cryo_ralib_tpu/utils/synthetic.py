@@ -67,6 +67,7 @@ def scattered_stack(templates: np.ndarray, n: int, max_shift: int = 2,
 
     Returns (images, class_ids, angles, shifts).
     """
+    import jax
     import jax.numpy as jnp
 
     from ..ops.transform import rot_shift2d
@@ -77,8 +78,11 @@ def scattered_stack(templates: np.ndarray, n: int, max_shift: int = 2,
     angs = rng.uniform(0, 360, n).astype(np.float32)
     sxs = rng.integers(-max_shift, max_shift + 1, n).astype(np.float32)
     sys_ = rng.integers(-max_shift, max_shift + 1, n).astype(np.float32)
-    imgs = np.array(rot_shift2d(jnp.asarray(templates[cls]),
-                                jnp.asarray(angs), jnp.asarray(sxs),
-                                jnp.asarray(sys_)))
+    # host utility: run on CPU — eager dispatches through a tunneled TPU
+    # cost ~32 ms each, which makes unjitted transforms pathologically slow
+    with jax.default_device(jax.devices("cpu")[0]):
+        imgs = np.array(rot_shift2d(jnp.asarray(templates[cls]),
+                                    jnp.asarray(angs), jnp.asarray(sxs),
+                                    jnp.asarray(sys_), engine="quadri"))
     imgs += rng.normal(0, noise, imgs.shape).astype(np.float32)
     return imgs.astype(np.float32), cls, angs, np.stack([sxs, sys_], 1)
