@@ -172,16 +172,21 @@ def mref_ali2d_tpu(
             frsc = (frsc[0], ave_fsc, frsc[2])
 
         refim = os.path.join(outdir, "aqm%03d.hdf" % it) if outdir else None
+        # (H, W)-sized reference conditioning runs on the CPU backend —
+        # eager ops on tunneled TPUs pay ~32ms dispatch + AOT compile each
+        with jax.default_device(jax.devices("cpu")[0]):
+            for j in range(numref):
+                if frsc is not None:
+                    filtered, _cs = user_func([mask, center, new_refs[j],
+                                               frsc])
+                else:
+                    filtered = new_refs[j]
+                new_refs[j] = np.asarray(normalize_mask(
+                    jnp.asarray(filtered), jnp.asarray(np.asarray(mask)),
+                    no_sigma=True), np.float32)
         for j in range(numref):
-            if frsc is not None:
-                filtered, _cs = user_func([mask, center, new_refs[j], frsc])
-            else:
-                filtered = new_refs[j]
-            filtered = np.asarray(normalize_mask(
-                jnp.asarray(filtered), mask_j, no_sigma=True), np.float32)
-            new_refs[j] = filtered
             if refim:
-                write_image(refim, filtered, j, header={
+                write_image(refim, new_refs[j], j, header={
                     "ave_n": int(counts[j]),
                     "members": sorted(float(m) for m in members[j]),
                 })

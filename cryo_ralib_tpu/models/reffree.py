@@ -166,17 +166,20 @@ def ali2d_base_tpu(
         log.add("Criterion %d = %15.8e" % (total_iter, a1))
         result.criteria.append(a1)
 
-        # ---- user function: tangent filter (+ centering)
+        # ---- user function: tangent filter (+ centering) — (H, W) host
+        # work on the CPU backend (tunneled-TPU eager dispatch is slow)
         again = True
         cs = [0.0, 0.0]
-        if center == -1:
-            tavg_f, cs = user_func([mask, 0, tavg, frsc])
-            cs = [float(sx_sum) / n, float(sy_sum) / n]
-            tavg_f = np.asarray(fshift(jnp.asarray(tavg_f), -cs[0], -cs[1]))
-            log.add("Average center x = %10.3f        Center y = %10.3f"
-                    % (cs[0], cs[1]))
-        else:
-            tavg_f, cs = user_func([mask, center, tavg, frsc])
+        with jax.default_device(jax.devices("cpu")[0]):
+            if center == -1:
+                tavg_f, cs = user_func([mask, 0, tavg, frsc])
+                cs = [float(sx_sum) / n, float(sy_sum) / n]
+                tavg_f = np.asarray(fshift(jnp.asarray(tavg_f),
+                                           -cs[0], -cs[1]))
+                log.add("Average center x = %10.3f        Center y = %10.3f"
+                        % (cs[0], cs[1]))
+            else:
+                tavg_f, cs = user_func([mask, center, tavg, frsc])
         tavg = np.asarray(tavg_f, np.float32)
         if outdir:
             write_image(os.path.join(outdir, "aqf.hdf"), tavg, total_iter - 1)

@@ -27,7 +27,9 @@ def class_templates(n_classes: int, nx: int) -> np.ndarray:
     cy = cx = nx // 2
     out = np.zeros((n_classes, nx, nx), np.float32)
     for k in range(n_classes):
-        r0 = nx * 0.12 + k * nx * 0.07
+        # cap the ring radius so features stay inside typical alignment
+        # masks (ou ~ 0.4 nx) even for many classes
+        r0 = nx * min(0.12 + k * 0.07, 0.30)
         img = np.zeros((nx, nx), np.float64)
         n_bumps = 2 + k
         for b in range(n_bumps):
