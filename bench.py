@@ -77,7 +77,13 @@ def _time_step(device, n, shift_chunk, reps, sampler="auto"):
 
 def main():
     dev = jax.devices()[0]
-    accel_pps = _time_step(dev, N_DEV, shift_chunk=8, reps=3)
+    try:
+        accel_pps = _time_step(dev, N_DEV, shift_chunk=8, reps=3)
+    except Exception:
+        # fused Pallas path unavailable on this runtime: XLA fallback
+        accel_pps = _time_step(dev, N_DEV, shift_chunk=8, reps=3,
+                               sampler="matmul" if dev.platform != "cpu"
+                               else "gather")
 
     cpu = jax.devices("cpu")[0]
     # the XLA-CPU proxy must not pick the Pallas kernels (TPU-only)
