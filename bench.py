@@ -33,7 +33,7 @@ from cryo_ralib_tpu.params import AlignParams
 
 NX = 90
 K = 8
-N_DEV = 4096
+N_DEV = 8192
 N_CPU = 64
 CFG = AlignConfig(img_dim=NX, ring_num=36, ring_len=256,
                   shift_step=1.0, shift_rng_x=3.0, shift_rng_y=3.0)

@@ -181,3 +181,35 @@ def test_filt_tanl_lowpass(stack):
     f_out = np.abs(np.fft.rfft2(out))
     assert abs(f_in[0, 0] - f_out[0, 0]) / f_in[0, 0] < 1e-3
     assert f_out[0, -1] < 0.05 * max(f_in[0, -1], 1e-9)
+
+
+def test_per_particle_ref_search(cfg, stack):
+    """cu_ccf_mult semantics: each particle correlates only with its
+    currently assigned reference; the winner must match a full search
+    restricted to that reference."""
+    import jax.numpy as jnp
+
+    from cryo_ralib_tpu.ops.search import (prepare_ref_spectra,
+                                           rotational_shift_search)
+    from cryo_ralib_tpu.params import AlignParams
+
+    imgs = jnp.asarray(stack[:4])
+    refs = jnp.asarray(stack[4:6].copy()[::-1])  # 2 distinct refs
+    rfw = prepare_ref_spectra(refs, cfg)
+    n = 4
+    rid = jnp.asarray(np.array([0, 1, 0, 1], np.int32))
+    params = AlignParams(jnp.zeros(n), jnp.zeros(n), jnp.zeros(n),
+                         jnp.zeros(n, jnp.int32), rid)
+    res = rotational_shift_search(imgs, rfw, params, cfg, shift_chunk=25,
+                                  per_particle_ref=True)
+    # compare each particle against a single-ref full search
+    for i in range(n):
+        one = prepare_ref_spectra(refs[int(rid[i])][None], cfg)
+        ri = rotational_shift_search(
+            imgs[i:i + 1], one,
+            AlignParams(jnp.zeros(1), jnp.zeros(1), jnp.zeros(1),
+                        jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32)),
+            cfg, shift_chunk=25)
+        assert int(res.best_aidx[i]) == int(ri.best_aidx[0])
+        assert int(res.best_sidx[i]) == int(ri.best_sidx[0])
+        assert int(res.best_mirror[i]) == int(ri.best_mirror[0])
