@@ -108,6 +108,89 @@ def make_device_loop(cfg: AlignConfig, n_iter: int, cutoffs, falloffs=None,
     return run
 
 
+def _mref_loop(images, refs0, params: AlignParams, gidx, valid, cutoffs,
+               falloffs, cfg: AlignConfig, *, n_iter: int, n_classes: int,
+               sampler: str, fast: bool, shift_chunk: int):
+    def body(i, state):
+        params, refs = state
+        refs_f = filt_tanl_dyn(refs, cutoffs[i], falloffs[i])
+        ref_fw = prepare_ref_spectra(refs_f, cfg)
+        if sampler == "fused":
+            from ..ops.fused_search import fused_search
+
+            res = fused_search(images, ref_fw, params, cfg)
+        elif sampler == "matmul":
+            res = rotational_shift_search_mm(images, ref_fw, params, cfg,
+                                             fast=fast)
+        else:
+            res = rotational_shift_search(images, ref_fw, params, cfg,
+                                          shift_chunk=shift_chunk)
+        params = decode_params(res, params, cfg, update_ref=True)
+        if sampler in ("matmul", "fused"):
+            transformed = transform_batch_mm(images, params, fast=fast)
+        else:
+            transformed = transform_batch(images, params)
+        sums, counts = class_sum_oe(transformed, params.ref_id, n_classes,
+                                    global_index=gidx, valid=valid)
+        safe = jnp.maximum(counts, 1).astype(jnp.float32)
+        new_refs = (sums[:, 0] + sums[:, 1]) / safe[:, None, None]
+        # vanished classes keep their previous reference (the offline
+        # driver reseeds from a random particle instead — host RNG has no
+        # place inside the loop; document the difference)
+        new_refs = jnp.where((counts < 4)[:, None, None], refs, new_refs)
+        return params, new_refs
+
+    return jax.lax.fori_loop(0, n_iter, body, (params, refs0))
+
+
+def make_mref_device_loop(cfg: AlignConfig, n_iter: int, n_classes: int,
+                          cutoffs, falloffs=None, mesh=None,
+                          sampler: str = "auto", fast: bool = True,
+                          shift_chunk: int = 8):
+    """Multireference analog of ``make_device_loop``: K references live on
+    device and are rebuilt from the class sums every iteration — the whole
+    ``mref_align_run`` workload as one compiled program (no reference
+    equivalent exists; their device-resident loop is single-reference).
+
+    Returns fn(images, refs0, params, gidx, valid) -> (params, refs).
+    """
+    if sampler == "auto":
+        if jax.default_backend() == "tpu" and mesh is None:
+            from ..ops.fused_search import fused_supported
+
+            sampler = ("fused" if fused_supported(cfg, n_classes)
+                       else "matmul")
+        elif jax.default_backend() == "tpu":
+            sampler = "matmul"
+        else:
+            sampler = "gather"
+    cutoffs = np.asarray(cutoffs, np.float32)
+    assert cutoffs.shape == (n_iter,)
+    if falloffs is None:
+        falloffs = np.full(n_iter, 0.1, np.float32)
+    falloffs = np.asarray(falloffs, np.float32)
+
+    fn = partial(_mref_loop, cfg=cfg, n_iter=n_iter, n_classes=n_classes,
+                 sampler=sampler, fast=fast, shift_chunk=shift_chunk)
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+        pshard = AlignParams(shard, shard, shard, shard, shard)
+        kwargs["in_shardings"] = (shard, repl, pshard, shard, shard,
+                                  repl, repl)
+        kwargs["out_shardings"] = (pshard, repl)
+    jitted = jax.jit(fn, **kwargs)
+
+    def run(images, refs0, params, gidx, valid):
+        return jitted(images, jnp.asarray(refs0), params, gidx, valid,
+                      jnp.asarray(cutoffs), jnp.asarray(falloffs))
+
+    return run
+
+
 def ref_free_alignment_2d(images: np.ndarray, n_iter: int = 10,
                           ou: int = -1, xr: float = 2.0, yr: float = -1.0,
                           ts: float = 1.0, cutoff: float = 0.25,

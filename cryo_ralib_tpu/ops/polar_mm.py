@@ -159,3 +159,19 @@ def polar_group_mm(img_t, wy_slice, wx_all, ring_num: int, ring_len: int,
     # x-contraction, fused multiply-reduce per dx
     polar = jnp.einsum("nqw,cqw->ncq", t, wx_c, **kw)
     return polar.reshape(n, n_dx, ring_num, ring_len).astype(jnp.float32)
+
+
+def polar_resample_mm(images, cfg):
+    """Zero-shift polar resampling via the tent matmuls at full f32 —
+    numerically equal to the bilinear gather (used for reference stacks,
+    where TPU gathers would dominate; cu_resample_to_polar with
+    shift=0, cuda/gpu_aln_noref.cu:396)."""
+    coords = cfg.polar_coords
+    h = w = cfg.img_dim
+    q = cfg.ring_num * cfg.ring_len
+    wy = jnp.asarray(tent_rows(h // 2 + coords[..., 1].reshape(-1), h))
+    wx = jnp.asarray(tent_rows(w // 2 + coords[..., 0].reshape(-1), w))
+    t = jnp.einsum("nhw,qh->nqw", images, wy, precision=_HP)
+    pol = jnp.einsum("nqw,qw->nq", t, wx, precision=_HP)
+    del q
+    return pol.reshape(images.shape[0], cfg.ring_num, cfg.ring_len)

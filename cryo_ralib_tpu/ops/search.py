@@ -53,10 +53,13 @@ def prepare_ref_spectra(refs, cfg: AlignConfig):
 
     Matches ``ref_batch->resample_to_polar(0,0,0) + apply_FFT`` at the top
     of every *_run call (cuda/gpu_aln_noref.cu:396-397) with the ring
-    weights folded in.
+    weights folded in.  Sampling runs as full-precision tent matmuls
+    (== the bilinear gather numerically; gathers are pathologically slow
+    on TPU even for K images).
     """
-    coords = jnp.asarray(cfg.polar_coords)
-    ref_polar = polar_resample(refs, coords)  # (K, R, L)
+    from .polar_mm import polar_resample_mm
+
+    ref_polar = polar_resample_mm(refs, cfg)  # (K, R, L)
     ref_f = ring_spectra(ref_polar)
     return weight_ring_spectra(ref_f, jnp.asarray(cfg.ring_weights))
 

@@ -68,7 +68,7 @@ def test_device_loop_one_iter_matches_step(rng):
                      n_classes=1, update_ref=False, sampler="gather",
                      shift_chunk=9)
     np.testing.assert_allclose(np.asarray(p_loop.angle),
-                               np.asarray(out.params.angle), atol=1e-4)
+                               np.asarray(out.params.angle), atol=5e-4)
     want_avg = (np.asarray(out.class_sums)[0, 0]
                 + np.asarray(out.class_sums)[0, 1]) / n
     np.testing.assert_allclose(np.asarray(avg_loop), want_avg, atol=1e-4)
@@ -97,3 +97,50 @@ def test_device_loop_sharded(rng):
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a8),
                                atol=2e-4 * np.abs(np.asarray(a1)).max())
+
+
+def test_mref_device_loop_one_iter_matches_step(rng):
+    from cryo_ralib_tpu.models.device_loop import make_mref_device_loop
+    from cryo_ralib_tpu.models.steps import align_step
+
+    k, nx, n = 3, 64, 12
+    base = class_templates(k, nx)
+    imgs, cls, _, _ = scattered_stack(base, n, max_shift=1, seed=31)
+    cfg = AlignConfig(img_dim=nx, ring_num=24, ring_len=256, shift_step=1.0,
+                      shift_rng_x=1.0, shift_rng_y=1.0)
+    gidx = jnp.arange(n, dtype=jnp.int32)
+    valid = jnp.ones(n, jnp.float32)
+
+    loop = make_mref_device_loop(cfg, 1, k, np.zeros(1, np.float32),
+                                 sampler="gather", shift_chunk=9)
+    p_loop, refs_loop = loop(jnp.asarray(imgs), base, AlignParams.zeros(n),
+                             gidx, valid)
+
+    out = align_step(jnp.asarray(imgs), jnp.asarray(base),
+                     AlignParams.zeros(n), gidx, valid, cfg=cfg,
+                     n_classes=k, update_ref=True, sampler="gather",
+                     shift_chunk=9)
+    np.testing.assert_array_equal(np.asarray(p_loop.ref_id),
+                                  np.asarray(out.params.ref_id))
+    s = np.asarray(out.class_sums)
+    c = np.asarray(out.counts)
+    want = (s[:, 0] + s[:, 1]) / np.maximum(c, 1)[:, None, None]
+    keep = c < 4
+    want[keep] = base[keep]
+    np.testing.assert_allclose(np.asarray(refs_loop), want, atol=1e-4)
+
+
+def test_mref_device_loop_converges(rng):
+    from cryo_ralib_tpu.analysis import purity_score
+    from cryo_ralib_tpu.models.device_loop import make_mref_device_loop
+
+    k, nx, n = 3, 64, 30
+    base = class_templates(k, nx)
+    imgs, cls, _, _ = scattered_stack(base, n, max_shift=1, seed=37)
+    cfg = AlignConfig(img_dim=nx, ring_num=24, ring_len=256, shift_step=1.0,
+                      shift_rng_x=1.0, shift_rng_y=1.0)
+    loop = make_mref_device_loop(cfg, 3, k, np.zeros(3, np.float32),
+                                 sampler="gather", shift_chunk=9)
+    p, refs = loop(jnp.asarray(imgs), base, AlignParams.zeros(n),
+                   jnp.arange(n), jnp.ones(n))
+    assert purity_score(cls, np.asarray(p.ref_id)) > 0.9

@@ -91,3 +91,28 @@ def test_fused_odd_batch_padding(rng):
                                       fast=True)
     np.testing.assert_array_equal(np.asarray(r.best_ref),
                                   np.asarray(r_mm.best_ref))
+
+
+def test_fused_odd_geometry(rng):
+    """Odd image size (75 px -> hp=80 pad) and fractional shift step."""
+    n, nx, k = 8, 75, 2
+    cfg = AlignConfig(img_dim=nx, ring_num=20, ring_len=256,
+                      shift_step=0.5, shift_rng_x=1.0, shift_rng_y=1.0)
+    imgs = jnp.asarray(rng.standard_normal((n, nx, nx)).astype(np.float32))
+    refs = jnp.asarray(rng.standard_normal((k, nx, nx)).astype(np.float32))
+    rfw = prepare_ref_spectra(refs, cfg)
+    params = AlignParams.zeros(n)
+    r_mm = rotational_shift_search_mm(imgs, rfw, params, cfg, fast=True)
+    r_fu = fused_search(imgs, rfw, params, cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r_mm.best_sidx),
+                                  np.asarray(r_fu.best_sidx))
+    np.testing.assert_array_equal(np.asarray(r_mm.best_ref),
+                                  np.asarray(r_fu.best_ref))
+    np.testing.assert_array_equal(np.asarray(r_mm.best_aidx),
+                                  np.asarray(r_fu.best_aidx))
+    # fractional-step grid: 5 distinct values each axis
+    assert cfg.shifts.shape == (25, 2)
+    # decode applies the fractional shifts
+    p = decode_params(r_fu, params, cfg)
+    assert set(np.round(np.unique(np.abs(np.asarray(p.shift_x))), 3)) \
+        <= {0.0, 0.5, 1.0}
