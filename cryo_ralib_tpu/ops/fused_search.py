@@ -5,17 +5,17 @@ stage round-trips its intermediate through HBM — the measured cost is
 bandwidth, not FLOPs.  These kernels keep the reference's entire
 ``mref_align_run`` pipeline (cuda/gpu_aln_noref.cu:389-416) on-chip:
 
-* **kernel A** (grid: particle tiles x ring blocks): tent-matmul polar
-  sampling for every (dx, dy) grid shift, matmul ring DFT, and the
-  conj-multiply ccf accumulation against every reference (mirror via
-  the conjugate trick) — the ccf *spectra* are the only thing written
-  to HBM, accumulated in VMEM scratch across ring blocks.
-* **kernel B** (grid: particle tiles): matmul inverse DFT of all
-  (mirror, shift, ref) rows and the flat argmax in the reference's
-  priority order (mirror, xi, yi, ref, angle) with first-seen tie
-  breaking (CcfResultTable layout, cuda/gpu_aln_noref.cu:2172-2178),
-  emitting per particle: peak value, angle bin, priority index and the
-  winning 256-angle row for the parabolic refinement.
+One kernel (grid: particle tiles x ring blocks) runs, per ring block,
+tent-matmul polar sampling for every (dx, dy) grid shift, the matmul
+ring DFT, and the conj-multiply ccf accumulation against every
+reference (mirror via the conjugate trick), holding the ccf spectra in
+VMEM scratch across ring blocks; the last block then applies the matmul
+inverse DFT to all (mirror, shift, ref) rows and takes the flat argmax
+in the reference's priority order (mirror, xi, yi, ref, angle) with
+first-seen tie breaking (CcfResultTable layout,
+cuda/gpu_aln_noref.cu:2172-2178).  The only HBM output is one packed
+384-lane row per particle: peak value, angle bin, priority index and
+the winning 256-angle row for the parabolic refinement.
 
 Frequency-axis layout: 129 rfft bins are zero-padded to 256 lanes and
 re/im halves packed side by side in 512 lanes, so every slice in the
