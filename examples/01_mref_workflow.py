@@ -7,7 +7,13 @@ runnable on CPU or TPU.
     python examples/01_mref_workflow.py [outdir]
 """
 
+import os
 import sys
+
+# make the repo importable when run as a script (do NOT use PYTHONPATH on
+# tunneled-TPU machines: any PYTHONPATH disables the TPU plugin there)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import tempfile
 
 import numpy as np

@@ -7,6 +7,13 @@ class averages from alignment params — the notebook's workload.
     python examples/02_batch_transform.py
 """
 
+import os
+import sys
+
+# make the repo importable when run as a script (do NOT use PYTHONPATH on
+# tunneled-TPU machines: any PYTHONPATH disables the TPU plugin there)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np
