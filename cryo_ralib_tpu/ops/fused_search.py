@@ -382,6 +382,178 @@ def _build_banded(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
     return call, offs
 
 
+
+
+def _class_plan(cfg, hp: int, rpb: int, n_classes: int = 3):
+    """Partition ring blocks into contiguous classes with a uniform
+    (8-aligned, center-symmetric) y-band per class."""
+    cy = cfg.img_dim // 2
+    dy_max = float(np.max(np.abs(cfg.shift_y_vals)))
+    nrb = cfg.ring_num // rpb
+    n_classes = min(n_classes, nrb)
+    base = nrb // n_classes
+    sizes = [base] * n_classes
+    sizes[-1] += nrb - base * n_classes
+    classes = []
+    start = 0
+    for sz in sizes:
+        rmax = (start + sz) * rpb            # largest radius in the class
+        lo = max(0, int(np.floor(cy - rmax - dy_max - 1)))
+        hi = min(hp, int(np.ceil(cy + rmax + dy_max + 2)))
+        lo = (lo // 8) * 8
+        hi = min(hp, ((hi + 7) // 8) * 8)
+        classes.append((start, sz, lo, hi - lo))
+        start += sz
+    return classes
+
+
+def _kernel_banded2(img_ref, wxt_ref, wyt0_ref, wyt1_ref, wyt2_ref, dft_ref,
+                    ref_ref, irf_ref, prio_ref, out_ref,
+                    polar_scr, acc_o, acc_m, rows_scr,
+                    *, n_dx, n_dy, n_ref, rpb, q_b, classes):
+    """Band-limited fused search with ROLLED ring loops: three class
+    sections, each a fori_loop over its ring blocks with a uniform
+    8-aligned y-band, rb-major table layouts so every dynamic index is a
+    leading-dim slice.  Same semantics as _kernel_fused."""
+    n_rows = n_dx * n_dy * NT
+    n_e = 2 * n_dx * n_dy * n_ref
+
+    acc_o[:] = jnp.zeros_like(acc_o)
+    acc_m[:] = jnp.zeros_like(acc_m)
+
+    wyt_refs = (wyt0_ref, wyt1_ref, wyt2_ref)
+    for cls_idx, (start, sz, y0, bh) in enumerate(classes):
+        wyt_c = wyt_refs[cls_idx]
+        img_band = img_ref[:, y0:y0 + bh, :].astype(jnp.bfloat16)
+        img_band = img_band.reshape(NT * bh, 128)
+
+        def body(rbl, _, start=start, bh=bh, wyt_c=wyt_c,
+                 img_band=img_band):
+            rb = start + rbl
+            for c in range(n_dx):
+                wx = wxt_ref[rb, c]                     # (128, q_b)
+                u = jnp.dot(img_band, wx,
+                            preferred_element_type=jnp.float32)
+                u = u.reshape(NT, bh, q_b).astype(jnp.bfloat16)
+                for d in range(n_dy):
+                    w = wyt_c[rbl, d]                   # (bh, q_b)
+                    pol = jnp.sum((u * w[None]).astype(jnp.float32),
+                                  axis=1)
+                    polar_scr[(c * n_dy + d) * NT:
+                              (c * n_dy + d + 1) * NT, :] = pol
+            for rr in range(rpb):
+                rows = polar_scr[:, rr * L:(rr + 1) * L]
+                spec = jnp.dot(rows.astype(jnp.bfloat16), dft_ref[:],
+                               preferred_element_type=jnp.float32)
+                s_re = spec[:, :FP]
+                s_im = spec[:, FP:]
+                for k in range(n_ref):
+                    r_re = ref_ref[rb * rpb + rr, k, :FP][None]
+                    r_im = ref_ref[rb * rpb + rr, k, FP:][None]
+                    a = s_re * r_re
+                    b = s_im * r_im
+                    ct = s_re * r_im
+                    dt = s_im * r_re
+                    acc_o[k] += jnp.concatenate([a + b, ct - dt], axis=-1)
+                    acc_m[k] += jnp.concatenate([a - b, -(ct + dt)],
+                                                axis=-1)
+            return 0
+
+        jax.lax.fori_loop(0, sz, body, 0)
+
+    # ---- finalize (identical to _kernel_fused)
+    for m, acc in ((0, acc_o), (1, acc_m)):
+        for k in range(n_ref):
+            rows = jnp.dot(acc[k].astype(jnp.bfloat16), irf_ref[:],
+                           preferred_element_type=jnp.float32)
+            rows_scr[(m * n_ref + k) * n_rows:
+                     (m * n_ref + k + 1) * n_rows, :] = rows
+
+    big = jnp.float32(1e9)
+    allr = rows_scr[:].reshape(n_e, NT, L)
+    bv = jnp.max(allr, axis=0)
+    prio = prio_ref[:, 0].reshape(n_e, 1, 1)
+    bm = jnp.min(jnp.where(allr == bv[None], prio, big), axis=0)
+
+    vmax = jnp.max(bv, axis=-1, keepdims=True)
+    mask = bv == vmax
+    emin = jnp.min(jnp.where(mask, bm, big), axis=-1, keepdims=True)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (NT, L), 1).astype(jnp.float32)
+    amin = jnp.min(jnp.where(mask & (bm == emin), lane, big),
+                   axis=-1, keepdims=True)
+
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (NT, 128), 1)
+    hdr = (jnp.where(lane128 == 0, vmax, 0.0)
+           + jnp.where(lane128 == 1, amin, 0.0)
+           + jnp.where(lane128 == 2, emin, 0.0))
+    out_ref[0, :, :128] = hdr
+
+    for n in range(NT):
+        e_n = emin[n, 0].astype(jnp.int32)
+        m = e_n // (n_dx * n_dy * n_ref)
+        rest = e_n % (n_dx * n_dy * n_ref)
+        c = rest // (n_dy * n_ref)
+        rest2 = rest % (n_dy * n_ref)
+        d = rest2 // n_ref
+        k = rest2 % n_ref
+        loc = (m * n_ref + k) * n_rows + (c * n_dy + d) * NT
+        slab = rows_scr[pl.ds(loc, NT), :]
+        out_ref[0, n:n + 1, 128:128 + L] = slab[n:n + 1, :]
+
+
+@lru_cache(maxsize=None)
+def _build_banded2(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
+                   n_rings: int, classes: tuple, interpret: bool):
+    q_b = rpb * L
+    n_rows = n_dx * n_dy * NT
+    n_e = 2 * n_dx * n_dy * n_ref
+    nrb = n_rings // rpb
+
+    kern = partial(_kernel_banded2, n_dx=n_dx, n_dy=n_dy, n_ref=n_ref,
+                   rpb=rpb, q_b=q_b, classes=tuple(classes))
+
+    def call(img, wxt_rb, wyts, dft, refp, irf, prio):
+        t = img.shape[0] // NT
+        wyt_specs = [
+            pl.BlockSpec((sz, n_dy, bh, q_b), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for (_, sz, _, bh) in classes
+        ]
+        return pl.pallas_call(
+            kern,
+            grid=(t,),
+            in_specs=[
+                pl.BlockSpec((NT, hp, 128), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nrb, n_dx, 128, q_b), lambda i: (0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                *wyt_specs,
+                pl.BlockSpec((L, 2 * FP), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_rings, n_ref, 2 * FP), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2 * FP, L), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_e, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, NT, 128 + L), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((t, NT, 128 + L), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((n_rows, q_b), jnp.float32),
+                pltpu.VMEM((n_ref, n_rows, 2 * FP), jnp.float32),
+                pltpu.VMEM((n_ref, n_rows, 2 * FP), jnp.float32),
+                pltpu.VMEM((2 * n_ref * n_rows, L), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+            interpret=interpret,
+        )(img, wxt_rb, *wyts, dft, refp, irf, prio)
+
+    return call
+
+
 class FusedTables:
     """Padded constant tables for the fused kernels (host numpy)."""
 
@@ -416,6 +588,26 @@ class FusedTables:
             assert outside < 1e-6, (rb, outside)
             blocks.append(blk)
         self.wytb = np.concatenate(blocks, axis=1).astype(jnp.bfloat16)
+        # rolled-banded (v2) layouts: rb-major wxt, class-banded wyt
+        nrb = cfg.ring_num // self.rpb
+        self.classes = tuple(_class_plan(cfg, self.hp, self.rpb))
+        wxt_rb = np.zeros((nrb, t.n_dx, 128, q_b), np.float32)
+        for rb in range(nrb):
+            sl = slice(rb * q_b, (rb + 1) * q_b)
+            wxt_rb[rb, :, :h, :] = np.swapaxes(t.wx[:, sl, :], 1, 2)
+        self.wxt_rb = wxt_rb.astype(jnp.bfloat16)
+        self.wyts = []
+        for (start, sz, y0, bh) in self.classes:
+            blk = np.zeros((sz, t.n_dy, bh, q_b), np.float32)
+            for rbl in range(sz):
+                sl = slice((start + rbl) * q_b, (start + rbl + 1) * q_b)
+                # (n_dy, q_b, H) -> rows y0:y0+bh, transposed to (bh, q_b)
+                sub = t.wy[:, sl, :]
+                full = np.abs(sub).sum(dtype=np.float64)
+                band = np.abs(sub[:, :, y0:y0 + bh]).sum(dtype=np.float64)
+                assert full - band < 1e-6, (start + rbl, full - band)
+                blk[rbl] = np.swapaxes(sub[:, :, y0:y0 + bh], 1, 2)
+            self.wyts.append(blk.astype(jnp.bfloat16))
         self.dft = np.asarray(_dft_packed())
         self.irf = np.asarray(_irfft_packed())
         # storage-slab -> reference-priority-order map (see _kernel_b)
@@ -447,7 +639,7 @@ def fused_supported(cfg: AlignConfig, n_classes: int) -> bool:
 
 def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
                  tables: FusedTables | None = None,
-                 interpret: bool = False, banded: bool = False) -> SearchResult:
+                 interpret: bool = False, banded: int = 2) -> SearchResult:
     """Drop-in fused-kernel replacement for ``rotational_shift_search_mm``.
 
     Args:
@@ -473,7 +665,15 @@ def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
     refp = refp.at[:, :, :F].set(jnp.swapaxes(re, 0, 1))
     refp = refp.at[:, :, FP:FP + F].set(jnp.swapaxes(im, 0, 1))
 
-    if banded:
+    if banded == 2:
+        call = _build_banded2(tables.n_dx, tables.n_dy, k, tables.hp,
+                              tables.rpb, tables.n_rings, tables.classes,
+                              interpret)
+        out = call(img_p, jnp.asarray(tables.wxt_rb),
+                   tuple(jnp.asarray(w) for w in tables.wyts),
+                   jnp.asarray(tables.dft), refp, jnp.asarray(tables.irf),
+                   jnp.asarray(tables.prio_table(k)))
+    elif banded:
         call, _ = _build_banded(tables.n_dx, tables.n_dy, k, tables.hp,
                                 tables.rpb, tables.n_rings, tables.bands,
                                 interpret)
