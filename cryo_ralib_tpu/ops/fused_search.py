@@ -214,176 +214,6 @@ def _build_fused(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
 
 
 
-def _band_plan(cfg, hp: int, rpb: int):
-    """Per-ring-block y-band (row offset, height): ring block rb covers
-    radii up to (rb+1)*rpb, so its tent weights touch only rows
-    cy +- (rmax + dy_max + 2).  8-aligned for clean VMEM slices."""
-    cy = cfg.img_dim // 2
-    dy_max = float(np.max(np.abs(cfg.shift_y_vals)))
-    bands = []
-    for rb in range(cfg.ring_num // rpb):
-        rmax = (rb + 1) * rpb
-        lo = max(0, int(np.floor(cy - rmax - dy_max - 1)))
-        hi = min(hp, int(np.ceil(cy + rmax + dy_max + 2)))
-        lo = (lo // 8) * 8
-        hi = min(hp, ((hi + 7) // 8) * 8)
-        bands.append((lo, hi - lo))
-    return bands
-
-
-def _kernel_banded(img_ref, wxt_ref, wytb_ref, dft_ref, ref_ref, irf_ref,
-                   prio_ref, out_ref, polar_scr, acc_o, acc_m, rows_scr,
-                   u_scr, *, n_dx, n_dy, n_ref, rpb, q_b, bands, offs):
-    """EXPERIMENTAL band-limited variant (default off): one grid step per
-    particle tile with the ring blocks unrolled statically, so every
-    y-contraction only touches the rows its rings can reach (~2x less
-    MXU + VPU work than the full-hp kernel).  Semantically verified in
-    interpret mode, but Mosaic currently accumulates the unrolled
-    temporaries into one ~440MB scoped VMEM allocation on real TPUs;
-    making this land needs rolled fori_loops with rb-major table
-    layouts and SMEM offset tables (tracked in STATUS.md)."""
-    n_rows = n_dx * n_dy * NT
-    n_e = 2 * n_dx * n_dy * n_ref
-    nrb = len(bands)
-
-    acc_o[:] = jnp.zeros_like(acc_o)
-    acc_m[:] = jnp.zeros_like(acc_m)
-
-    for rb in range(nrb):
-        y0, bh = bands[rb]
-        off = offs[rb]
-        img_band = img_ref[:, y0:y0 + bh, :].astype(jnp.bfloat16)
-        img_band = img_band.reshape(NT * bh, 128)
-        for c in range(n_dx):
-            wx = wxt_ref[c, :, rb * q_b:(rb + 1) * q_b]
-            u = jnp.dot(img_band, wx, preferred_element_type=jnp.float32)
-            # round-trip through one reused scratch buffer: the statically
-            # unrolled ring loop would otherwise keep every u alive
-            u_scr[:, :bh, :] = u.reshape(NT, bh, q_b)
-            ub = u_scr[:, :bh, :].astype(jnp.bfloat16)
-            for d in range(n_dy):
-                w = wytb_ref[d, off:off + bh, :]       # (bh, q_b)
-                pol = jnp.sum((ub * w[None]).astype(jnp.float32), axis=1)
-                polar_scr[(c * n_dy + d) * NT:
-                          (c * n_dy + d + 1) * NT, :] = pol
-            del ub
-
-        for rr in range(rpb):
-            rows = polar_scr[:, rr * L:(rr + 1) * L]
-            spec = jnp.dot(rows.astype(jnp.bfloat16), dft_ref[:],
-                           preferred_element_type=jnp.float32)
-            s_re = spec[:, :FP]
-            s_im = spec[:, FP:]
-            for k in range(n_ref):
-                r_re = ref_ref[rb * rpb + rr, k, :FP][None]
-                r_im = ref_ref[rb * rpb + rr, k, FP:][None]
-                a = s_re * r_re
-                b = s_im * r_im
-                ct = s_re * r_im
-                dt = s_im * r_re
-                acc_o[k] += jnp.concatenate([a + b, ct - dt], axis=-1)
-                acc_m[k] += jnp.concatenate([a - b, -(ct + dt)], axis=-1)
-            del s_re, s_im
-
-    # ---- finalize: inverse DFT + priority argmax (same as _kernel_fused)
-    for m, acc in ((0, acc_o), (1, acc_m)):
-        for k in range(n_ref):
-            rows = jnp.dot(acc[k].astype(jnp.bfloat16), irf_ref[:],
-                           preferred_element_type=jnp.float32)
-            rows_scr[(m * n_ref + k) * n_rows:
-                     (m * n_ref + k + 1) * n_rows, :] = rows
-
-    big = jnp.float32(1e9)
-    allr = rows_scr[:].reshape(n_e, NT, L)
-    bv = jnp.max(allr, axis=0)
-    prio = prio_ref[:, 0].reshape(n_e, 1, 1)
-    bm = jnp.min(jnp.where(allr == bv[None], prio, big), axis=0)
-
-    vmax = jnp.max(bv, axis=-1, keepdims=True)
-    mask = bv == vmax
-    emin = jnp.min(jnp.where(mask, bm, big), axis=-1, keepdims=True)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (NT, L), 1).astype(jnp.float32)
-    amin = jnp.min(jnp.where(mask & (bm == emin), lane, big),
-                   axis=-1, keepdims=True)
-
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (NT, 128), 1)
-    hdr = (jnp.where(lane128 == 0, vmax, 0.0)
-           + jnp.where(lane128 == 1, amin, 0.0)
-           + jnp.where(lane128 == 2, emin, 0.0))
-    out_ref[0, :, :128] = hdr
-
-    for n in range(NT):
-        e_n = emin[n, 0].astype(jnp.int32)
-        m = e_n // (n_dx * n_dy * n_ref)
-        rest = e_n % (n_dx * n_dy * n_ref)
-        c = rest // (n_dy * n_ref)
-        rest2 = rest % (n_dy * n_ref)
-        d = rest2 // n_ref
-        k = rest2 % n_ref
-        loc = (m * n_ref + k) * n_rows + (c * n_dy + d) * NT
-        slab = rows_scr[pl.ds(loc, NT), :]
-        out_ref[0, n:n + 1, 128:128 + L] = slab[n:n + 1, :]
-
-
-@lru_cache(maxsize=None)
-def _build_banded(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
-                  n_rings: int, bands: tuple, interpret: bool):
-    q_b = rpb * L
-    n_rows = n_dx * n_dy * NT
-    n_e = 2 * n_dx * n_dy * n_ref
-    offs = []
-    cur = 0
-    for _, bh in bands:
-        offs.append(cur)
-        cur += bh
-    total_bh = cur
-
-    kern = partial(_kernel_banded, n_dx=n_dx, n_dy=n_dy, n_ref=n_ref,
-                   rpb=rpb, q_b=q_b, bands=tuple(bands), offs=tuple(offs))
-
-    def call(img, wxt, wytb, dft, refp, irf, prio):
-        t = img.shape[0] // NT
-        q = n_rings * L
-        return pl.pallas_call(
-            kern,
-            grid=(t,),
-            in_specs=[
-                pl.BlockSpec((NT, hp, 128), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_dx, 128, q), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_dy, total_bh, q_b), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, 2 * FP), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_rings, n_ref, 2 * FP), lambda i: (0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((2 * FP, L), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_e, 128), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, NT, 128 + L), lambda i: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((t, NT, 128 + L), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((n_rows, q_b), jnp.float32),
-                pltpu.VMEM((n_ref, n_rows, 2 * FP), jnp.float32),
-                pltpu.VMEM((n_ref, n_rows, 2 * FP), jnp.float32),
-                pltpu.VMEM((2 * n_ref * n_rows, L), jnp.float32),
-                pltpu.VMEM((NT, max(b for _, b in bands), q_b),
-                           jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=110 * 1024 * 1024),
-            interpret=interpret,
-        )(img, wxt, wytb, dft, refp, irf, prio)
-
-    return call, offs
-
-
-
-
 def _class_plan(cfg, hp: int, rpb: int, n_classes: int = 3):
     """Partition ring blocks into contiguous classes with a uniform
     (8-aligned, center-symmetric) y-band per class."""
@@ -574,21 +404,8 @@ class FusedTables:
         wyt = np.zeros((t.n_dy, self.hp, q), np.float32)
         wyt[:, :h, :] = np.swapaxes(t.wy, 1, 2)
         self.wyt = wyt.astype(jnp.bfloat16)
-        # banded layout: per ring block only the reachable rows
-        self.bands = tuple(_band_plan(cfg, self.hp, self.rpb))
         q_b = self.rpb * L
-        blocks = []
-        for rb, (y0, bh) in enumerate(self.bands):
-            blk = wyt[:, y0:y0 + bh, rb * q_b:(rb + 1) * q_b]
-            # every nonzero weight must live inside the band
-            full = np.abs(wyt[:, :, rb * q_b:(rb + 1) * q_b])
-            outside = full.sum() - full[:, y0:y0 + bh].sum(dtype=np.float64)
-            outside = float(full[:, :y0].sum(dtype=np.float64)
-                            + full[:, y0 + bh:].sum(dtype=np.float64))
-            assert outside < 1e-6, (rb, outside)
-            blocks.append(blk)
-        self.wytb = np.concatenate(blocks, axis=1).astype(jnp.bfloat16)
-        # rolled-banded (v2) layouts: rb-major wxt, class-banded wyt
+        # band-limited layouts: rb-major wxt, class-banded wyt
         nrb = cfg.ring_num // self.rpb
         self.classes = tuple(_class_plan(cfg, self.hp, self.rpb))
         wxt_rb = np.zeros((nrb, t.n_dx, 128, q_b), np.float32)
@@ -665,19 +482,12 @@ def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
     refp = refp.at[:, :, :F].set(jnp.swapaxes(re, 0, 1))
     refp = refp.at[:, :, FP:FP + F].set(jnp.swapaxes(im, 0, 1))
 
-    if banded == 2:
+    if banded:
         call = _build_banded2(tables.n_dx, tables.n_dy, k, tables.hp,
                               tables.rpb, tables.n_rings, tables.classes,
                               interpret)
         out = call(img_p, jnp.asarray(tables.wxt_rb),
                    tuple(jnp.asarray(w) for w in tables.wyts),
-                   jnp.asarray(tables.dft), refp, jnp.asarray(tables.irf),
-                   jnp.asarray(tables.prio_table(k)))
-    elif banded:
-        call, _ = _build_banded(tables.n_dx, tables.n_dy, k, tables.hp,
-                                tables.rpb, tables.n_rings, tables.bands,
-                                interpret)
-        out = call(img_p, jnp.asarray(tables.wxt), jnp.asarray(tables.wytb),
                    jnp.asarray(tables.dft), refp, jnp.asarray(tables.irf),
                    jnp.asarray(tables.prio_table(k)))
     else:
