@@ -14,7 +14,8 @@ from __future__ import annotations
 import argparse
 
 from .common import (add_common_flags, check_outdir, load_stack,
-                     make_mesh_arg, print_device_info, writeback_headers)
+                     make_mesh_arg, print_device_info,
+                     validate_reffree_flags, writeback_headers)
 
 
 def build_parser():
@@ -31,6 +32,7 @@ def main(argv=None):
     if args.gpu_info:
         print_device_info()
         return 0
+    validate_reffree_flags(args)
     if args.resume:
         import os
         os.makedirs(args.outdir, exist_ok=True)

@@ -53,7 +53,7 @@ def _loop(images, avg0, params: AlignParams, gidx, valid, cutoffs, falloffs,
                                           shift_chunk=shift_chunk)
         params = decode_params(res, params, cfg, update_ref=False)
         if sampler == "matmul":
-            transformed = transform_batch_mm(images, params)
+            transformed = transform_batch_mm(images, params, fast=fast)
         else:
             transformed = transform_batch(images, params)
         sums, _ = class_sum_oe(transformed, params.ref_id, 1,

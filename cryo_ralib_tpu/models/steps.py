@@ -181,16 +181,15 @@ def _make_shard_map_step(cfg, n_classes, shift_chunk, update_ref, mesh,
     """shard_map distribution: every device runs the full step on its
     particle shard (Pallas kernels included); class sums/counts psum over
     'dp' inside (see align_step axis_name)."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     fn = partial(align_step, cfg=cfg, n_classes=n_classes,
                  shift_chunk=shift_chunk, update_ref=update_ref,
                  sampler=sampler, fast=fast, axis_name="dp")
     pspec = AlignParams(*([P("dp")] * 5))
-    smapped = shard_map(
+    smapped = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P("dp"), P(), pspec, P("dp"), P("dp")),
         out_specs=StepOutput(pspec, P(), P(), P("dp"), P(), P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(smapped, donate_argnums=(2,))

@@ -445,9 +445,16 @@ class FusedTables:
 
 
 def fused_supported(cfg: AlignConfig, n_classes: int) -> bool:
-    """Geometry gate: the kernels are specialized to ring_len 256 and a
+    """Geometry gate: the kernels are specialized to ring_len 256, a
+    128-lane image width (boxes >128 px fall back to the matmul path),
+    >=3 ring blocks (the banded kernel has three class sections), and a
     ccf accumulator that fits VMEM."""
     if cfg.ring_len != L:
+        return False
+    if cfg.img_dim > 128:
+        return False
+    rpb = 2 if cfg.ring_num % 2 == 0 else 1
+    if cfg.ring_num // rpb < 3:
         return False
     n_rows = len(cfg.shift_x_vals) * len(cfg.shift_y_vals) * NT
     acc_bytes = 2 * n_classes * n_rows * 2 * FP * 4

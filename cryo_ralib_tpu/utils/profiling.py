@@ -42,14 +42,14 @@ def force(tree) -> None:
 
     ``jax.block_until_ready`` returns immediately on the tunneled TPU
     transport of this environment, and complex leaves cannot be fetched
-    at all — so fetch one element of a real leaf.
+    at all — so fetch one element of every real leaf (leaves may come
+    from different executables, so one fetch is not a full barrier).
     """
     for leaf in jax.tree_util.tree_leaves(tree):
         if hasattr(leaf, "ravel"):
             if jax.numpy.iscomplexobj(leaf):
                 leaf = jax.numpy.real(leaf)
             np.asarray(leaf.ravel()[:1])
-            return
 
 
 class DeviceTimer:
