@@ -34,7 +34,8 @@ from cryo_ralib_tpu.params import AlignParams
 NX = 90
 K = 8
 N_DEV = 8192
-N_CPU = 64
+N_CPU = 128
+CPU_REPS = 3
 CFG = AlignConfig(img_dim=NX, ring_num=36, ring_len=256,
                   shift_step=1.0, shift_rng_x=3.0, shift_rng_y=3.0)
 
@@ -47,8 +48,10 @@ def _batch(n, seed=0):
     )
 
 
-def _time_step(device, n, shift_chunk, reps, sampler="auto"):
+def _time_step(device, n, shift_chunk, reps, sampler="auto", k=K,
+               update_ref=True):
     images_np, refs_np = _batch(n)
+    refs_np = refs_np[:k]
     images = jax.device_put(images_np, device)
     refs = jax.device_put(refs_np, device)
     gidx = jax.device_put(np.arange(n, dtype=np.int32), device)
@@ -60,8 +63,8 @@ def _time_step(device, n, shift_chunk, reps, sampler="auto"):
             np.zeros(n, np.float32), np.zeros(n, np.int32),
             np.zeros(n, np.int32)), device)
 
-    fn = jax.jit(partial(align_step, cfg=CFG, n_classes=K,
-                         shift_chunk=shift_chunk, update_ref=True,
+    fn = jax.jit(partial(align_step, cfg=CFG, n_classes=k,
+                         shift_chunk=shift_chunk, update_ref=update_ref,
                          sampler=sampler))
     # NB: on the tunneled TPU platform block_until_ready returns without
     # blocking; a host fetch is the only reliable completion barrier.
@@ -75,22 +78,59 @@ def _time_step(device, n, shift_chunk, reps, sampler="auto"):
     return n / dt
 
 
+def _time_rot_shift(device, n, reps, engine):
+    """Batch ``rot_shift2D`` throughput (BASELINE row 3: the notebook-02
+    CuPy batch transform, ~5x vs EMAN2 CPU, README.md:62)."""
+    from cryo_ralib_tpu.ops.transform import rot_shift2d
+
+    rng = np.random.default_rng(3)
+    images = jax.device_put(
+        rng.standard_normal((n, NX, NX)).astype(np.float32), device)
+    ang = jax.device_put(
+        rng.uniform(0, 360, n).astype(np.float32), device)
+    sx = jax.device_put(rng.uniform(-3, 3, n).astype(np.float32), device)
+    sy = jax.device_put(rng.uniform(-3, 3, n).astype(np.float32), device)
+    mir = jax.device_put(rng.integers(0, 2, n).astype(np.int32), device)
+
+    fn = jax.jit(partial(rot_shift2d, engine=engine))
+    np.asarray(fn(images, ang, sx, sy, mir)[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(images, ang, sx, sy, mir)
+        np.asarray(out[0, 0, 0])
+    dt = (time.perf_counter() - t0) / reps
+    return n / dt
+
+
 def main():
     dev = jax.devices()[0]
+    on_accel = dev.platform != "cpu"
     try:
         accel_pps = _time_step(dev, N_DEV, shift_chunk=8, reps=3)
     except Exception:
         # fused Pallas path unavailable on this runtime: XLA fallback
         accel_pps = _time_step(dev, N_DEV, shift_chunk=8, reps=3,
-                               sampler="matmul" if dev.platform != "cpu"
-                               else "gather")
+                               sampler="matmul" if on_accel else "gather")
 
     cpu = jax.devices("cpu")[0]
     # the XLA-CPU proxy must not pick the Pallas kernels (TPU-only)
-    cpu_pps = _time_step(cpu, N_CPU, shift_chunk=4, reps=1,
+    cpu_pps = _time_step(cpu, N_CPU, shift_chunk=4, reps=CPU_REPS,
                          sampler="gather")
-
     speedup = accel_pps / cpu_pps
+
+    # BASELINE row 2: reference-free (single-ref) alignment, K=1,
+    # update_ref=False — the ``pre_align_run_m`` workload
+    # (README.md:31-38, published 2.4x-9.4x GPU vs CPU ali2d_base).
+    reffree_pps = _time_step(dev, N_DEV, shift_chunk=8, reps=3, k=1,
+                             update_ref=False)
+    reffree_cpu = _time_step(cpu, 4 * N_CPU, shift_chunk=4, reps=CPU_REPS,
+                             sampler="gather", k=1, update_ref=False)
+
+    # BASELINE row 3: batch rot_shift2D (notebook 02, ~5x GPU vs CPU).
+    rs_pps = _time_rot_shift(dev, N_DEV, reps=3,
+                             engine="shear" if on_accel else "quadri")
+    rs_cpu = _time_rot_shift(cpu, 1024, reps=CPU_REPS, engine="quadri")
+
     print(json.dumps({
         "metric": "mref_particles_per_sec_per_chip",
         "value": round(accel_pps, 2),
@@ -102,6 +142,12 @@ def main():
             "cpu_proxy_particles_per_sec": round(cpu_pps, 2),
             "speedup_vs_cpu_proxy": round(speedup, 2),
             "baseline": "reference GPU published 22x-37x vs EMAN2 CPU",
+            "reffree_particles_per_sec": round(reffree_pps, 2),
+            "reffree_speedup_vs_cpu_proxy": round(reffree_pps / reffree_cpu, 2),
+            "reffree_baseline": "reference GPU published 2.4x-9.4x",
+            "rot_shift2d_images_per_sec": round(rs_pps, 2),
+            "rot_shift2d_speedup_vs_cpu_proxy": round(rs_pps / rs_cpu, 2),
+            "rot_shift2d_baseline": "reference CuPy published ~5x",
         },
     }))
 

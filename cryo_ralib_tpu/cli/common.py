@@ -31,9 +31,24 @@ def add_common_flags(p: argparse.ArgumentParser, reffree: bool = False):
     p.add_argument("--maxit", type=int, default=0,
                    help="max iterations (0 = auto)")
     p.add_argument("--CTF", action="store_true",
-                   help="accepted for flag parity; force-disabled like the "
-                        "reference (test_mref_gpu_align.py:308)")
+                   help="CTF-aware alignment: premultiply particles by "
+                        "their CTFs and Wiener-restore averages with --snr "
+                        "(capability beyond the reference, which "
+                        "force-disables this flag, "
+                        "test_mref_gpu_align.py:308); requires --ctf_file")
     p.add_argument("--snr", type=float, default=1.0, help="SNR (CTF path)")
+    p.add_argument("--ctf_file", default="",
+                   help="per-particle CTF parameters: a RELION .star file "
+                        "or a whitespace table with columns "
+                        "'dfu [dfv [dfang]]' (A / A / deg)")
+    p.add_argument("--apix", type=float, default=1.0,
+                   help="pixel size in A (CTF path)")
+    p.add_argument("--voltage", type=float, default=300.0,
+                   help="acceleration voltage in kV (CTF path)")
+    p.add_argument("--Cs", type=float, default=2.7,
+                   help="spherical aberration in mm (CTF path)")
+    p.add_argument("--ac", type=float, default=0.1,
+                   help="amplitude contrast ratio (CTF path)")
     p.add_argument("--function", default="ref_ali2d",
                    help="reference-preparation user function")
     p.add_argument("--rand_seed", type=int, default=1000,
@@ -102,6 +117,43 @@ def validate_reffree_flags(args):
               "these silently; this rebuild rejects them instead:\n  "
               + "\n  ".join(problems), file=sys.stderr)
         raise SystemExit(2)
+
+
+def load_ctf_params(args, n: int) -> dict | None:
+    """Build the ``ctf_params`` dict for the drivers from --CTF/--ctf_file.
+
+    Returns None when --CTF is off; raises on --CTF without a file or on
+    a particle-count mismatch.
+    """
+    if not args.CTF:
+        return None
+    if not args.ctf_file:
+        print("ERROR: --CTF requires --ctf_file (per-particle defocus)",
+              file=sys.stderr)
+        raise SystemExit(2)
+    path = args.ctf_file
+    if path.lower().endswith(".star"):
+        from ..io.star import Starfile, parse_ctf_star
+
+        star = Starfile.load(path)
+        rows = parse_ctf_star(star.df, d=0, angpix=args.apix)
+        dfu, dfv, dfang = rows[:, 2], rows[:, 3], rows[:, 4]
+        voltage = float(rows[0, 5]) or args.voltage
+        cs = float(rows[0, 6]) or args.Cs
+        w = float(rows[0, 7]) or args.ac
+        phase_shift = float(rows[0, 8])
+    else:
+        rows = np.atleast_2d(np.loadtxt(path, dtype=np.float64))
+        dfu = rows[:, 0]
+        dfv = rows[:, 1] if rows.shape[1] > 1 else dfu
+        dfang = rows[:, 2] if rows.shape[1] > 2 else np.zeros_like(dfu)
+        voltage, cs, w, phase_shift = args.voltage, args.Cs, args.ac, 0.0
+    if dfu.shape[0] != n:
+        print(f"ERROR: {dfu.shape[0]} CTF rows for {n} particles",
+              file=sys.stderr)
+        raise SystemExit(2)
+    return dict(dfu=dfu, dfv=dfv, dfang=dfang, apix=args.apix,
+                voltage=voltage, cs=cs, w=w, phase_shift=phase_shift)
 
 
 def print_device_info():

@@ -17,8 +17,9 @@ from __future__ import annotations
 import argparse
 
 
-from .common import (add_common_flags, check_outdir, load_stack,
-                     make_mesh_arg, print_device_info, writeback_headers)
+from .common import (add_common_flags, check_outdir, load_ctf_params,
+                     load_stack, make_mesh_arg, print_device_info,
+                     writeback_headers)
 
 
 def build_parser():
@@ -51,12 +52,15 @@ def main(argv=None):
     refs, _ = load_stack(args.refs)
     mesh = make_mesh_arg(args.devices)
 
+    # unlike the reference (which force-disables CTF, ":308  # okay..?"),
+    # --CTF here enables real premultiply+Wiener processing
+    ctf_params = load_ctf_params(args, images.shape[0])
     res = mref_ali2d_tpu(
         images, refs, outdir=args.outdir,
         ir=args.ir, ou=args.ou, rs=args.rs,
         xr=args.xr, yr=args.yr, ts=args.ts,
         center=args.center, maxit=args.maxit,
-        CTF=False,  # force-disabled like the reference (":308  # okay..?")
+        CTF=ctf_params is not None, ctf_params=ctf_params,
         snr=args.snr, user_func_name=args.function,
         rand_seed=args.rand_seed, log=log, mesh=mesh,
         sampler=args.sampler, resume=args.resume,

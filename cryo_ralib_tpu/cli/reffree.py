@@ -13,8 +13,8 @@ from __future__ import annotations
 
 import argparse
 
-from .common import (add_common_flags, check_outdir, load_stack,
-                     make_mesh_arg, print_device_info,
+from .common import (add_common_flags, check_outdir, load_ctf_params,
+                     load_stack, make_mesh_arg, print_device_info,
                      validate_reffree_flags, writeback_headers)
 
 
@@ -47,12 +47,14 @@ def main(argv=None):
     images, _headers = load_stack(args.stack)
     mesh = make_mesh_arg(args.devices)
 
+    ctf_params = load_ctf_params(args, images.shape[0])
     res = ali2d_base_tpu(
         images, outdir=args.outdir,
         ir=args.ir, ou=args.ou, rs=args.rs,
         xr=args.xr, yr=args.yr, ts=args.ts,
         center=args.center, maxit=args.maxit,
-        CTF=False, snr=args.snr, user_func_name=args.function,
+        CTF=ctf_params is not None, ctf_params=ctf_params,
+        snr=args.snr, user_func_name=args.function,
         random_method=args.random_method, log=log, mesh=mesh,
         sampler=args.sampler, resume=args.resume,
     )

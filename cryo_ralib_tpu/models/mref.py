@@ -65,6 +65,7 @@ def mref_ali2d_tpu(
     maxit: int = 0,
     CTF: bool = False,
     snr: float = 1.0,
+    ctf_params: dict | None = None,
     user_func_name: str = "ref_ali2d",
     rand_seed: int = 1000,
     log: RunLogger | None = None,
@@ -80,6 +81,12 @@ def mref_ali2d_tpu(
     Note the reference GPU config uses ``xr`` for both shift axes even when
     ``--yr`` is given (test_mref_gpu_align.py:365-369); we honor ``yr``
     when it differs, falling back to the reference behavior for yr<0.
+
+    ``CTF=True`` (capability beyond the reference, which force-disables
+    the flag — test_mref_gpu_align.py:308): particles are premultiplied
+    by their CTFs and references Wiener-restored with ``snr``
+    (ops/ctf_ops.py).  Requires ``ctf_params`` with at least ``dfu``
+    (per-particle defocus, A); see ``ops.ctf_ops.CtfContext``.
     """
     if outdir:
         os.makedirs(outdir, exist_ok=True)
@@ -100,6 +107,17 @@ def mref_ali2d_tpu(
 
     mask = maskfile if maskfile is not None else model_circle(last_ring, nx)
     mask_j = jnp.asarray(mask)
+
+    ctf_ctx = None
+    if CTF:
+        if ctf_params is None:
+            raise ValueError("CTF=True requires ctf_params (at least "
+                             "per-particle 'dfu' defocus in A)")
+        from ..ops.ctf_ops import CtfContext
+
+        ctf_ctx = CtfContext(nx, ctf_params, snr=snr)
+        images = ctf_ctx.premultiply(images)
+        log.add("CTF premultiplication on, snr=%g" % snr)
 
     # preprocessing — note the EMAN2 normalize.mask semantics (the
     # reference's inline comments have them swapped): refs get no_sigma=1
@@ -147,6 +165,12 @@ def mref_ali2d_tpu(
         frsc = None
         new_refs = np.empty_like(refi)
         vanished = []
+        if ctf_ctx is not None:
+            # Wiener-restored combined averages (spectrum / (sum ctf^2 +
+            # 1/snr)) replace the plain count-normalized sums; FSC below
+            # still uses the raw even/odd halves.
+            wiener = ctf_ctx.restore(np.asarray(sums[:, 0] + sums[:, 1]),
+                                     assign)
         for j in range(numref):
             if counts[j] < 4:
                 # vanished class: reseed with a random particle
@@ -159,7 +183,8 @@ def mref_ali2d_tpu(
                 if outdir:
                     write_fsc(os.path.join(outdir, "drm%03d%04d.txt" % (it, j)),
                               *cur)
-                new_refs[j] = (sums[j, 0] + sums[j, 1]) / float(counts[j])
+                new_refs[j] = (wiener[j] if ctf_ctx is not None
+                               else (sums[j, 0] + sums[j, 1]) / float(counts[j]))
                 if ave_fsc is None:
                     ave_fsc = np.array(cur[1], np.float64)
                     c_fsc = 1

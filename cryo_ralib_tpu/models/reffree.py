@@ -64,6 +64,7 @@ def ali2d_base_tpu(
     maxit: int = 0,
     CTF: bool = False,
     snr: float = 1.0,
+    ctf_params: dict | None = None,
     user_func_name: str = "ref_ali2d",
     random_method: str = "",
     log: RunLogger | None = None,
@@ -98,6 +99,20 @@ def ali2d_base_tpu(
 
     mask = maskfile if maskfile is not None else model_circle(last_ring, nx)
     mask_j = jnp.asarray(mask)
+
+    ctf_ctx = None
+    if CTF:
+        # capability beyond the reference (its flag exists but the GPU
+        # path never uses it): filt_ctf premultiplication + Wiener
+        # average restoration, the SPHIRE ali2d CTF semantics.
+        if ctf_params is None:
+            raise ValueError("CTF=True requires ctf_params (at least "
+                             "per-particle 'dfu' defocus in A)")
+        from ..ops.ctf_ops import CtfContext
+
+        ctf_ctx = CtfContext(nx, ctf_params, snr=snr)
+        images = ctf_ctx.premultiply(images)
+        log.add("CTF premultiplication on, snr=%g" % snr)
 
     # preprocessing: subtract the mean under the mask
     # (Util.infomask + "data[im] -= st[0]", test_reffree_gpu_align.py:276-278)
@@ -146,7 +161,10 @@ def ali2d_base_tpu(
             # (statistics.sum_oe, test_reffree_gpu_align.py:363-365)
             sums = np.stack([data[0::2].sum(0), data[1::2].sum(0)])[None]
         ave1, ave2 = sums[0, 0], sums[0, 1]
-        tavg = ((ave1 + ave2) / n).astype(np.float32)
+        if ctf_ctx is not None:
+            tavg = ctf_ctx.restore(np.asarray(ave1 + ave2)[None])[0]
+        else:
+            tavg = ((ave1 + ave2) / n).astype(np.float32)
 
         log.add("Iteration #%4d" % total_iter)
         log.add("X range = %5.2f   Y range = %5.2f   Step = %5.2f"

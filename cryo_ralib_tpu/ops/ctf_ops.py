@@ -1,0 +1,163 @@
+"""CTF-aware alignment ops: premultiplication and Wiener averaging.
+
+The reference *accepts* ``--CTF`` and force-disables it
+(``CTF = False  # okay..?``, test_mref_gpu_align.py:308), so there is no
+GPU behavior to reproduce — this module implements the SPHIRE CPU-side
+semantics the flag was meant to enable (``sxali2d`` with CTF): each
+particle is premultiplied by its CTF in Fourier space (``filt_ctf`` —
+phase flip + amplitude weighting, which makes the PSF symmetric so the
+rotational search is unbiased), and class averages are Wiener-restored by
+dividing the summed spectrum by ``sum(ctf_i^2) + 1/snr``.
+
+All transforms are matmul DFTs (ops/dft.py) — no jnp.fft on the device
+path.  The CTF model itself is ``analysis.compute_ctf`` (the port of
+``compute_ctf_np``, reference src/utils_ralib.py:354-386) evaluated on the
+unshifted rfft2 frequency grid, so no fftshift round-trips are needed.
+
+Approximation (standard for 2D class averaging, documented in
+docs/design.md): the per-particle ctf^2 accumulation ignores the in-plane
+alignment rotation — exact for astigmatism-free CTFs, and averaged out
+over random particle orientations otherwise.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..analysis.ctf import compute_ctf
+from .dft import irfft2_mm, rfft2_mm
+
+
+def rfft2_freqs(nx: int, apix: float = 1.0) -> np.ndarray:
+    """(nx, nx//2+1, 2) spatial-frequency grid (1/A) of the rfft2 layout
+    produced by ``ops.dft.rfft2_mm``: axis -2 is the full (unshifted) DFT
+    along y, axis -1 the real-FFT half along x."""
+    fy = np.fft.fftfreq(nx) / apix
+    fx = np.fft.rfftfreq(nx) / apix
+    gx, gy = np.meshgrid(fx, fy)
+    return np.stack([gx, gy], axis=-1)
+
+
+def ctf_rfft2(nx: int, apix, dfu, dfv, dfang, voltage=300.0, cs=2.7,
+              w=0.1, phase_shift=0.0, bfactor=None, xp=np):
+    """Per-particle 2D CTF on the rfft2 grid.
+
+    Args:
+      dfu, dfv, dfang: scalars or (N,) defocus U/V (A) and astigmatism
+        angle (deg).
+      voltage (kV), cs (mm), w (amplitude contrast), phase_shift (deg),
+        bfactor (A^2 or None): scalars.
+    Returns (N, nx, nx//2+1) (or (nx, nx//2+1) for scalar defocus).
+    """
+    freqs = rfft2_freqs(nx, apix)
+    shape = freqs.shape[:-1]
+    fx = xp.asarray(freqs[..., 0]).reshape(-1)
+    fy = xp.asarray(freqs[..., 1]).reshape(-1)
+    dfu = xp.asarray(dfu)
+    scalar = getattr(dfu, "ndim", 0) == 0
+    if scalar:
+        ctf = compute_ctf(xp.stack([fx, fy], -1), dfu, xp.asarray(dfv),
+                          xp.asarray(dfang), voltage, cs, w,
+                          phase_shift=phase_shift, bfactor=bfactor, xp=xp)
+        return ctf.reshape(shape).astype(xp.float32)
+    dfv = xp.asarray(dfv)
+    dfang_r = xp.asarray(dfang) * (np.pi / 180.0)
+    # inline the broadcastable form of compute_ctf (its (M, 2) freqs
+    # signature does not broadcast a particle axis)
+    volt = voltage * 1000.0
+    cs_a = cs * 1e7
+    lam = 12.2639 / np.sqrt(volt + 0.97845e-6 * volt ** 2)
+    ang = xp.arctan2(fy, fx)[None, :]
+    s2 = (fx ** 2 + fy ** 2)[None, :]
+    df = 0.5 * (dfu[:, None] + dfv[:, None]
+                + (dfu[:, None] - dfv[:, None])
+                * xp.cos(2.0 * (ang - dfang_r[:, None])))
+    gamma = (2.0 * np.pi * (-0.5 * df * lam * s2
+                            + 0.25 * cs_a * lam ** 3 * s2 ** 2)
+             - phase_shift * np.pi / 180.0)
+    ctf = np.sqrt(1.0 - w ** 2) * xp.sin(gamma) - w * xp.cos(gamma)
+    if bfactor is not None:
+        ctf = ctf * xp.exp(-bfactor / 4.0 * s2)
+    return ctf.reshape((-1,) + shape).astype(xp.float32)
+
+
+def filt_ctf(images, ctf):
+    """Premultiply real images by their CTFs in Fourier space
+    (SPHIRE ``filt_ctf``): (N, H, W) x (N, H, Fw) -> (N, H, W)."""
+    h, w = images.shape[-2:]
+    return irfft2_mm(rfft2_mm(images) * ctf, (h, w))
+
+
+def class_ctf2_sum(ctf, ref_id, n_classes: int):
+    """Per-class sum of ctf^2: (N, H, Fw), (N,) -> (K, H, Fw).
+
+    One-hot matmul like ``class_sum_oe`` — the MXU/GSPMD-friendly
+    segment sum (no parity split: Wiener restores the *combined*
+    average; FSC keeps using the plain even/odd sums)."""
+    onehot = jax.nn.one_hot(ref_id, n_classes, dtype=ctf.dtype)  # (N, K)
+    return jnp.einsum("nk,nhf->khf", onehot, ctf * ctf,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def wiener_restore(summed, ctf2_sum, snr: float):
+    """Wiener-restore a summed class average: divide its spectrum by
+    ``sum(ctf^2) + 1/snr`` (the ``ctf_2_sum`` division of SPHIRE's
+    CTF-aware ``ali2d``).  summed: (..., H, W); ctf2_sum: (..., H, Fw)."""
+    h, w = summed.shape[-2:]
+    spec = rfft2_mm(summed) / (ctf2_sum + 1.0 / float(snr))
+    return irfft2_mm(spec, (h, w))
+
+
+class CtfContext:
+    """Driver-side CTF state: per-particle CTF stack resident on device,
+    premultiplication and per-class Wiener restoration.
+
+    Built once per run from per-particle defocus; drivers call
+    ``premultiply(images)`` during preprocessing and
+    ``restore(sums, assign)`` in the reference update.
+    """
+
+    def __init__(self, nx: int, ctf_params: dict, snr: float = 1.0):
+        p = dict(ctf_params)
+        dfu = np.atleast_1d(np.asarray(p.pop("dfu"), np.float64))
+        dfv = np.atleast_1d(np.asarray(p.pop("dfv", dfu), np.float64))
+        dfang = np.atleast_1d(np.asarray(p.pop("dfang", 0.0), np.float64))
+        n = max(dfu.size, dfv.size, dfang.size)
+        dfu, dfv, dfang = (np.broadcast_to(a, (n,)) for a in
+                           (dfu, dfv, dfang))
+        self.snr = float(snr)
+        self.nx = nx
+        ctf_np = ctf_rfft2(nx, p.pop("apix", 1.0), dfu, dfv, dfang,
+                           voltage=p.pop("voltage", 300.0),
+                           cs=p.pop("cs", 2.7), w=p.pop("w", 0.1),
+                           phase_shift=p.pop("phase_shift", 0.0),
+                           bfactor=p.pop("bfactor", None))
+        if p:
+            raise ValueError(f"unknown ctf_params keys: {sorted(p)}")
+        self.ctf = jnp.asarray(ctf_np)
+
+    def premultiply(self, images):
+        """filt_ctf over the full stack (jitted once)."""
+        if images.shape[0] != self.ctf.shape[0]:
+            raise ValueError(
+                f"{images.shape[0]} images vs {self.ctf.shape[0]} CTFs")
+        return jax.jit(filt_ctf)(jnp.asarray(images), self.ctf)
+
+    def restore(self, summed, assign=None):
+        """Wiener-restore per-class summed averages.
+
+        summed: (K, H, W) summed (even+odd, unnormalized) class images;
+        assign: (N,) class ids (None -> all particles in class 0).
+        """
+        k = summed.shape[0]
+        if assign is None:
+            assign = jnp.zeros((self.ctf.shape[0],), jnp.int32)
+        ctf2 = jax.jit(class_ctf2_sum, static_argnums=2)(
+            self.ctf, jnp.asarray(assign, jnp.int32), k)
+        return np.asarray(jax.jit(wiener_restore, static_argnums=2)(
+            jnp.asarray(summed), ctf2, self.snr), np.float32)

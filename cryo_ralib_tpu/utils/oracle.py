@@ -230,3 +230,139 @@ def mirror_flip_np(img: np.ndarray) -> np.ndarray:
     out = img.copy()
     out[:, start:] = out[:, start:][:, ::-1]
     return out
+
+
+# ---------------------------------------------------------------------------
+# EMAN2-convention CPU baseline: variable-length Numrinit rings + ringwe
+# weights.  The reference CPU path (`mref_ali2d_MPI`,
+# test_mref_gpu_align.py:741-750) aligns with `Util.Polar2Dm` over rings
+# whose per-ring sample count is an FFT-friendly power of two near 2*pi*r
+# (`sp_alignment.Numrinit`) and weights ring spectra with
+# `sp_alignment.ringwe`; the GPU path (and this rebuild) uses uniform
+# ring_len=256 with linear (i+1) weights (SURVEY.md §3.3).  These functions
+# model the EMAN2 convention so tests can *quantify* assignment agreement
+# between the two schemes (the SURVEY §3.3 validation contract).
+# ---------------------------------------------------------------------------
+
+
+def numrinit(first_ring: int, last_ring: int, skip: int = 1,
+             mode: str = "F") -> list[tuple[int, int]]:
+    """`sp_alignment.Numrinit` ring plan: [(radius, ring_len), ...].
+
+    Per ring at radius k the length is the largest power of two <= the
+    circumference sample count ``round(dpi*k)``, doubled when the true
+    count overshoots by >50% (inner rings) or >20% (outermost ring),
+    capped at 32768."""
+    dpi = 2.0 * np.pi if mode in ("f", "F") else np.pi
+    maxfft = 32768
+    rings = []
+    for k in range(first_ring, last_ring + 1, skip):
+        jp = int(dpi * k + 0.5)
+        ip = 1
+        while ip * 2 <= jp:
+            ip *= 2
+        if k + skip <= last_ring and jp > ip + ip // 2:
+            ip = min(maxfft, 2 * ip)
+        if k + skip > last_ring and jp > ip + ip // 5:
+            ip = min(maxfft, 2 * ip)
+        rings.append((k, ip))
+    return rings
+
+
+def ringwe(rings: list[tuple[int, int]], mode: str = "F") -> np.ndarray:
+    """`sp_alignment.ringwe` weights: w_i = r_i * dpi / L_i * maxrin / L_i."""
+    dpi = 2.0 * np.pi if mode in ("f", "F") else np.pi
+    maxrin = rings[-1][1]
+    return np.asarray([r * dpi / ln * maxrin / ln for r, ln in rings],
+                      np.float64)
+
+
+def polar_rings_np(img: np.ndarray, rings: list[tuple[int, int]],
+                   shift_x: float = 0.0, shift_y: float = 0.0) -> list:
+    """Variable-length polar resample (`Util.Polar2Dm` convention model):
+    ring at radius r sampled at its own L uniform angles, bilinear reads
+    about the same center as `polar_resample_np`."""
+    h, w = img.shape
+    cx = w // 2 + shift_x
+    cy = h // 2 + shift_y
+    out = []
+    for r, ln in rings:
+        row = np.empty(ln, np.float64)
+        for j in range(ln):
+            ang = 2.0 * np.pi * j / ln
+            row[j] = bilinear_sample_np(img, cy + r * np.sin(ang),
+                                        cx + r * np.cos(ang))
+        out.append(row)
+    return out
+
+
+def ccf_rows_eman_np(sbj_rings: list, ref_rings_list: list,
+                     weights: np.ndarray, maxrin: int) -> np.ndarray:
+    """Rotational ccf of one subject vs all refs under the EMAN2 scheme
+    (`Util.Crosrng_ms` model): each ring contributes its own harmonics
+    (up to L_i/2) into a maxrin-length angle response; mirror via the
+    conjugate trick as in `ccf_table_np`.  Returns (2, K, maxrin)."""
+    k = len(ref_rings_list)
+    nf = maxrin // 2 + 1
+    sf = [np.fft.rfft(r) for r in sbj_rings]
+    out = np.empty((2, k, maxrin), np.float64)
+    for kk in range(k):
+        orig = np.zeros(nf, np.complex128)
+        mirr = np.zeros(nf, np.complex128)
+        for i, (s, ref_ring) in enumerate(zip(sf, ref_rings_list[kk])):
+            rf = np.fft.rfft(ref_ring)
+            nb = min(len(s), nf)
+            orig[:nb] += weights[i] * np.conj(s[:nb]) * rf[:nb]
+            mirr[:nb] += weights[i] * np.conj(s[:nb] * rf[:nb])
+        out[0, kk] = np.fft.irfft(orig, n=maxrin)
+        out[1, kk] = np.fft.irfft(mirr, n=maxrin)
+    return out
+
+
+def align_particle_eman_np(img: np.ndarray, refs: np.ndarray,
+                           rings: list[tuple[int, int]], shifts: np.ndarray,
+                           acc_sx: float = 0.0, acc_sy: float = 0.0,
+                           shift_limit: float = 1e9):
+    """EMAN2-convention single-particle search: variable rings + ringwe,
+    argmax over [mirror][shift][ref][maxrin angles] in the same priority
+    order as `align_particle_np`, same prb1d refine and angle decode.
+
+    The CPU baseline this models: `Util.multiref_polar_ali_2d` inside
+    `mref_ali2d_MPI` (test_mref_gpu_align.py:771)."""
+    weights = ringwe(rings)
+    maxrin = rings[-1][1]
+    ref_rings = [polar_rings_np(r, rings) for r in refs]
+    k = refs.shape[0]
+    s = shifts.shape[0]
+    table = np.empty((2, s, k, maxrin), np.float64)
+    for si in range(s):
+        rows = ccf_rows_eman_np(
+            polar_rings_np(img, rings, acc_sx + shifts[si, 0],
+                           acc_sy + shifts[si, 1]),
+            ref_rings, weights, maxrin)
+        table[0, si] = rows[0]
+        table[1, si] = rows[1]
+
+    flat = table.reshape(-1)
+    idx = int(np.argmax(flat))
+    peak = flat[idx]
+    aidx = idx % maxrin
+    rest = idx // maxrin
+    ridx = rest % k
+    rest //= k
+    sidx = rest % s
+    midx = rest // s
+
+    row = table[midx, sidx, ridx]
+    xs = np.array([row[(aidx + i) % maxrin] for i in range(-3, 4)])
+    step = 360.0 / maxrin
+    angle = step * aidx + step * prb1d(xs)
+    angle = 360.0 - angle
+    if midx == 1:
+        angle += 180.0
+        if angle >= 360.0:
+            angle -= 360.0
+    sx = min(max(acc_sx + shifts[sidx, 0], -shift_limit), shift_limit)
+    sy = min(max(acc_sy + shifts[sidx, 1], -shift_limit), shift_limit)
+    return dict(angle=angle, shift_x=sx, shift_y=sy, mirror=int(midx),
+                ref_id=int(ridx), peak=peak)

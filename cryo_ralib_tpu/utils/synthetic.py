@@ -43,6 +43,26 @@ def class_templates(n_classes: int, nx: int) -> np.ndarray:
     return out
 
 
+def asymmetric_templates(n_classes: int, nx: int) -> np.ndarray:
+    """`class_templates` carry C_{2+k} *dihedral* symmetry (equally spaced
+    identical bumps), which makes the decoded mirror/angle genuinely
+    degenerate (equal-score argmax ties).  This variant adds two distinct
+    off-ring bumps per class so every pose is unique — use it whenever a
+    test asserts exact winner agreement."""
+    base = class_templates(n_classes, nx).astype(np.float64)
+    yy, xx = np.mgrid[0:nx, 0:nx]
+    cy = cx = nx // 2
+    for i in range(n_classes):
+        for amp, r, ang in ((2.0, 0.18 * nx, 0.7 + i),
+                            (1.2, 0.08 * nx, 2.9 + 2 * i)):
+            by, bx = cy + r * np.sin(ang), cx + r * np.cos(ang)
+            base[i] += amp * np.exp(-((yy - by) ** 2 + (xx - bx) ** 2)
+                                    / (2 * 2.0 ** 2))
+        base[i] -= base[i].mean()
+        base[i] /= base[i].std()
+    return base.astype(np.float32)
+
+
 def blob_stack(n: int, nx: int, blobs: int = 3, noise: float = 0.05,
                seed: int = 0) -> np.ndarray:
     """Particle-like images: gaussian blobs in a disc plus noise."""
