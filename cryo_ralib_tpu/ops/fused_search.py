@@ -269,14 +269,13 @@ def _class_plan(cfg, hp: int, rpb: int, n_classes: int = 3):
     return classes
 
 
-def _kernel_banded2(img_ref, wxt_ref, wyt0_ref, wyt1_ref, wyt2_ref, dft_ref,
-                    ref_ref, rny_ref, oh_ref, irf_ref, prio_ref, out_ref,
-                    polar_scr, nyq_scr, acc_o, acc_m, rows_scr,
-                    *, n_dx, n_dy, n_ref, rpb, q_b, classes):
+def _kernel_banded2(img_ref, wxt_ref, *rest,
+                    n_dx, n_dy, n_ref, rpb, q_b, classes):
     """Band-limited fused search with ROLLED ring loops and the tight
-    256-lane frequency packing: three class sections, each a fori_loop
-    over its ring blocks with a uniform 8-aligned y-band, rb-major table
-    layouts so every dynamic index is a leading-dim slice.
+    256-lane frequency packing: ``len(classes)`` class sections, each a
+    fori_loop over its ring blocks with a uniform 8-aligned y-band,
+    rb-major table layouts so every dynamic index is a leading-dim
+    slice.
 
     ccf layout per accumulator row: lanes [0:128] re bins 0..127, lanes
     [128:256] im bins 0..127.  The Nyquist bin of each ring's spectrum
@@ -285,6 +284,10 @@ def _kernel_banded2(img_ref, wxt_ref, wyt0_ref, wyt1_ref, wyt2_ref, dft_ref,
     finalize: C_ny = nyq_scr @ rny (per-(row, k) Nyquist ccf), whose
     irfft contribution is the alternating rank-1 row
     C_ny * (-1)^l / L.  Same semantics as _kernel_fused."""
+    nc = len(classes)
+    wyt_refs = rest[:nc]
+    (dft_ref, ref_ref, rny_ref, oh_ref, irf_ref, prio_ref, out_ref,
+     polar_scr, nyq_scr, acc_o, acc_m, rows_scr) = rest[nc:]
     n_rows = n_dx * n_dy * NT
     n_e = 2 * n_dx * n_dy * n_ref
 
@@ -292,7 +295,6 @@ def _kernel_banded2(img_ref, wxt_ref, wyt0_ref, wyt1_ref, wyt2_ref, dft_ref,
     acc_m[:] = jnp.zeros_like(acc_m)
     nyq_scr[:] = jnp.zeros_like(nyq_scr)
 
-    wyt_refs = (wyt0_ref, wyt1_ref, wyt2_ref)
     for cls_idx, (start, sz, y0, bh) in enumerate(classes):
         wyt_c = wyt_refs[cls_idx]
         img_band = img_ref[:, y0:y0 + bh, :].astype(jnp.bfloat16)
@@ -454,9 +456,13 @@ def _build_banded2(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
 
 
 class FusedTables:
-    """Padded constant tables for the fused kernels (host numpy)."""
+    """Padded constant tables for the fused kernels (host numpy).
 
-    def __init__(self, cfg: AlignConfig):
+    ``n_bands``: number of uniform y-band classes for the banded kernel
+    (more bands = tighter per-ring-block image bands = less sampling
+    work, at the cost of more unrolled class sections)."""
+
+    def __init__(self, cfg: AlignConfig, n_bands: int = 3):
         assert cfg.ring_len == L, "fused kernels are specialized to 256"
         t = build_polar_tables(cfg)
         h = cfg.img_dim
@@ -476,7 +482,8 @@ class FusedTables:
         q_b = self.rpb * L
         # band-limited layouts: rb-major wxt, class-banded wyt
         nrb = cfg.ring_num // self.rpb
-        self.classes = tuple(_class_plan(cfg, self.hp, self.rpb))
+        self.classes = tuple(_class_plan(cfg, self.hp, self.rpb,
+                                         n_classes=n_bands))
         wxt_rb = np.zeros((nrb, t.n_dx, 128, q_b), np.float32)
         for rb in range(nrb):
             sl = slice(rb * q_b, (rb + 1) * q_b)
@@ -523,14 +530,12 @@ class FusedTables:
 def fused_supported(cfg: AlignConfig, n_classes: int) -> bool:
     """Geometry gate: the kernels are specialized to ring_len 256, a
     128-lane image width (boxes >128 px fall back to the matmul path),
-    >=3 ring blocks (the banded kernel has three class sections), and a
-    ccf accumulator that fits VMEM."""
+    and a ccf accumulator that fits VMEM.  (The banded kernel clamps its
+    y-band class count to the ring-block count, so few-ring configs are
+    fine.)"""
     if cfg.ring_len != L:
         return False
     if cfg.img_dim > 128:
-        return False
-    rpb = 2 if cfg.ring_num % 2 == 0 else 1
-    if cfg.ring_num // rpb < 3:
         return False
     n_rows = len(cfg.shift_x_vals) * len(cfg.shift_y_vals) * NT
     # banded-kernel accumulators: 2 x (K, n_rows, 256) f32

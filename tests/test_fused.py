@@ -78,6 +78,26 @@ def test_fused_recovers_structured(rng):
     assert (np.asarray(r_fu.best_ref) == cls).all()
 
 
+def test_fused_single_ref(rng):
+    """K=1 (the reffree workload) takes a dedicated 2D ccf branch in the
+    banded kernel (Mosaic rejects the degenerate 3D broadcast); it must
+    match the matmul path exactly."""
+    n, nx = 8, 64
+    cfg = _cfg(nx)
+    imgs = jnp.asarray(rng.standard_normal((n, nx, nx)).astype(np.float32))
+    refs = jnp.asarray(rng.standard_normal((1, nx, nx)).astype(np.float32))
+    rfw = prepare_ref_spectra(refs, cfg)
+    params = AlignParams.zeros(n)
+    r_mm = rotational_shift_search_mm(imgs, rfw, params, cfg, fast=True)
+    r_fu = fused_search(imgs, rfw, params, cfg, interpret=True)
+    for f in ("best_aidx", "best_sidx", "best_mirror"):
+        np.testing.assert_array_equal(np.asarray(getattr(r_mm, f)),
+                                      np.asarray(getattr(r_fu, f)))
+    va = np.asarray(r_mm.best_val)
+    np.testing.assert_allclose(np.asarray(r_fu.best_val), va,
+                               atol=5e-3 * np.abs(va).max())
+
+
 def test_fused_odd_batch_padding(rng):
     """N not a multiple of the tile size: padded particles are dropped."""
     n, nx, k = 5, 64, 2

@@ -74,10 +74,31 @@ class TestFusedSupportedGates:
     def test_boundary_box_supported(self):
         assert fused_supported(self._cfg(img_dim=128), 4)
 
-    def test_few_ring_blocks_fall_back(self):
-        # ADVICE r1 (low): the banded kernel has three class sections;
-        # ring_num=4 (2 ring blocks) must not select the fused path
-        assert not fused_supported(self._cfg(ring_num=4), 4)
+    def test_few_ring_blocks_supported(self):
+        # ADVICE r1 (low) originally forced a fallback here because the
+        # banded kernel hard-coded three class sections; the kernel now
+        # takes a variable class count clamped to the ring-block count,
+        # so ring_num=4 (2 ring blocks) runs fused — verify it works.
+        import jax.numpy as jnp
+
+        from cryo_ralib_tpu.ops.fused_search import fused_search
+        from cryo_ralib_tpu.ops.search import (prepare_ref_spectra,
+                                               rotational_shift_search_mm)
+        from cryo_ralib_tpu.params import AlignParams
+
+        cfg = self._cfg(ring_num=4, shift_rng_x=1.0, shift_rng_y=1.0)
+        assert fused_supported(cfg, 4)
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.standard_normal((8, 90, 90)).astype(np.float32))
+        refs = jnp.asarray(rng.standard_normal((2, 90, 90)).astype(np.float32))
+        rfw = prepare_ref_spectra(refs, cfg)
+        p = AlignParams.zeros(8)
+        r_mm = rotational_shift_search_mm(imgs, rfw, p, cfg, fast=True)
+        r_fu = fused_search(imgs, rfw, p, cfg, interpret=True)
+        np.testing.assert_array_equal(np.asarray(r_mm.best_ref),
+                                      np.asarray(r_fu.best_ref))
+        np.testing.assert_array_equal(np.asarray(r_mm.best_sidx),
+                                      np.asarray(r_fu.best_sidx))
 
     def test_wrong_ring_len_falls_back(self):
         assert not fused_supported(self._cfg(ring_len=128), 4)
