@@ -248,7 +248,15 @@ def _build_fused(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
 
 def _class_plan(cfg, hp: int, rpb: int, n_classes: int = 3):
     """Partition ring blocks into contiguous classes with a uniform
-    (8-aligned, center-symmetric) y-band per class."""
+    (8-aligned, center-symmetric) y-band per class, plus the two
+    half-plane chunk windows within the band.
+
+    The natural angle order splits every ring at lane 128: samples
+    j in [0:128) have sin(theta) >= 0 (rows >= cy), j in [128:256)
+    sin(theta) <= 0 — so the y-tent contraction for each 128-lane chunk
+    only needs roughly half the class band.  Entries:
+    (start, sz, y0, bh, a_off, a_wh, b_off, b_wh) with the chunk
+    windows 8-aligned and relative to y0."""
     cy = cfg.img_dim // 2
     dy_max = float(np.max(np.abs(cfg.shift_y_vals)))
     nrb = cfg.ring_num // rpb
@@ -264,7 +272,12 @@ def _class_plan(cfg, hp: int, rpb: int, n_classes: int = 3):
         hi = min(hp, int(np.ceil(cy + rmax + dy_max + 2)))
         lo = (lo // 8) * 8
         hi = min(hp, ((hi + 7) // 8) * 8)
-        classes.append((start, sz, lo, hi - lo))
+        # chunk A: j in [0:128), y in [cy - dy - 1, cy + rmax + dy + 2)
+        lo_a = max(lo, (int(np.floor(cy - dy_max - 1)) // 8) * 8)
+        # chunk B: j in [128:256), y in [cy - rmax - dy - 1, cy + dy + 2)
+        hi_b = min(hi, ((int(np.ceil(cy + dy_max + 2)) + 7) // 8) * 8)
+        classes.append((start, sz, lo, hi - lo,
+                        lo_a - lo, hi - lo_a, 0, hi_b - lo))
         start += sz
     return classes
 
@@ -285,9 +298,9 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
     irfft contribution is the alternating rank-1 row
     C_ny * (-1)^l / L.  Same semantics as _kernel_fused."""
     nc = len(classes)
-    wyt_refs = rest[:nc]
+    wyt_refs = rest[:2 * nc]            # (A, B) chunk tables per class
     (dft_ref, ref_ref, rny_ref, oh_ref, irf_ref, prio_ref, out_ref,
-     polar_scr, nyq_scr, acc_o, acc_m, rows_scr) = rest[nc:]
+     polar_scr, nyq_scr, acc_o, acc_m, rows_scr) = rest[2 * nc:]
     n_rows = n_dx * n_dy * NT
     n_e = 2 * n_dx * n_dy * n_ref
 
@@ -295,12 +308,15 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
     acc_m[:] = jnp.zeros_like(acc_m)
     nyq_scr[:] = jnp.zeros_like(nyq_scr)
 
-    for cls_idx, (start, sz, y0, bh) in enumerate(classes):
-        wyt_c = wyt_refs[cls_idx]
+    for cls_idx, (start, sz, y0, bh,
+                  a_off, a_wh, b_off, b_wh) in enumerate(classes):
+        wyt_a = wyt_refs[2 * cls_idx]
+        wyt_b = wyt_refs[2 * cls_idx + 1]
         img_band = img_ref[:, y0:y0 + bh, :].astype(jnp.bfloat16)
         img_flat = img_band.reshape(NT * bh, 128)
 
-        def body(rbl, _, start=start, bh=bh, wyt_c=wyt_c,
+        def body(rbl, _, start=start, bh=bh, wyt_a=wyt_a, wyt_b=wyt_b,
+                 a_off=a_off, a_wh=a_wh, b_off=b_off, b_wh=b_wh,
                  img_flat=img_flat):
             rb = start + rbl
             for c in range(n_dx):
@@ -309,10 +325,18 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
                             preferred_element_type=jnp.float32)
                 u = u.reshape(NT, bh, q_b)
                 for d in range(n_dy):
-                    w = wyt_c[rbl, d].astype(jnp.float32)  # (bh, q_b)
-                    pol = jnp.sum(u * w[None], axis=1)
-                    polar_scr[(c * n_dy + d) * NT:
-                              (c * n_dy + d + 1) * NT, :] = pol
+                    base = (c * n_dy + d) * NT
+                    for rr in range(rpb):
+                        for (wyt_ch, off, wh, ch) in (
+                                (wyt_a, a_off, a_wh, 0),
+                                (wyt_b, b_off, b_wh, 1)):
+                            lane0 = rr * L + ch * 128
+                            w = wyt_ch[rbl, d, :, rr * 128:(rr + 1) * 128]
+                            pol = jnp.sum(
+                                u[:, off:off + wh, lane0:lane0 + 128]
+                                * w.astype(jnp.float32)[None], axis=1)
+                            polar_scr[base:base + NT,
+                                      lane0:lane0 + 128] = pol
                 del u
             for rr in range(rpb):
                 ring = rb * rpb + rr
@@ -410,11 +434,13 @@ def _build_banded2(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
 
     def call(img, wxt_rb, wyts, dft, refp, rny, oh, irf, prio):
         t = img.shape[0] // NT
-        wyt_specs = [
-            pl.BlockSpec((sz, n_dy, bh, q_b), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-            for (_, sz, _, bh) in classes
-        ]
+        wyt_specs = []
+        for (_, sz, _, _bh, _ao, a_wh, _bo, b_wh) in classes:
+            for wh in (a_wh, b_wh):
+                wyt_specs.append(
+                    pl.BlockSpec((sz, n_dy, wh, rpb * 128),
+                                 lambda i: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM))
         return pl.pallas_call(
             kern,
             grid=(t,),
@@ -490,17 +516,28 @@ class FusedTables:
             wxt_rb[rb, :, :h, :] = np.swapaxes(t.wx[:, sl, :], 1, 2)
         self.wxt_rb = wxt_rb.astype(jnp.bfloat16)
         self.wyts = []
-        for (start, sz, y0, bh) in self.classes:
-            blk = np.zeros((sz, t.n_dy, bh, q_b), np.float32)
+        for (start, sz, y0, bh, a_off, a_wh, b_off, b_wh) in self.classes:
+            # per-chunk half-plane tables: chunk A = lanes [0:128) of each
+            # ring (sin >= 0, rows >= cy), chunk B = lanes [128:256)
+            blk_a = np.zeros((sz, t.n_dy, a_wh, self.rpb * 128), np.float32)
+            blk_b = np.zeros((sz, t.n_dy, b_wh, self.rpb * 128), np.float32)
             for rbl in range(sz):
                 sl = slice((start + rbl) * q_b, (start + rbl + 1) * q_b)
-                # (n_dy, q_b, H) -> rows y0:y0+bh, transposed to (bh, q_b)
-                sub = t.wy[:, sl, :]
+                sub = t.wy[:, sl, :]        # (n_dy, q_b, H)
                 full = np.abs(sub).sum(dtype=np.float64)
-                band = np.abs(sub[:, :, y0:y0 + bh]).sum(dtype=np.float64)
-                assert full - band < 1e-6, (start + rbl, full - band)
-                blk[rbl] = np.swapaxes(sub[:, :, y0:y0 + bh], 1, 2)
-            self.wyts.append(blk.astype(jnp.bfloat16))
+                kept = 0.0
+                for rr in range(self.rpb):
+                    for ch, (blk, off, wh) in enumerate(
+                            ((blk_a, a_off, a_wh), (blk_b, b_off, b_wh))):
+                        cols = slice(rr * L + ch * 128, rr * L + ch * 128 + 128)
+                        rows = slice(y0 + off, y0 + off + wh)
+                        piece = sub[:, cols, rows]
+                        kept += np.abs(piece).sum(dtype=np.float64)
+                        blk[rbl, :, :, rr * 128:(rr + 1) * 128] = \
+                            np.swapaxes(piece, 1, 2)
+                assert full - kept < 1e-6, (start + rbl, full - kept)
+            self.wyts.append(blk_a.astype(jnp.bfloat16))
+            self.wyts.append(blk_b.astype(jnp.bfloat16))
         self.dft = np.asarray(_dft_packed())
         self.irf = np.asarray(_irfft_packed())
         # tight-packing tables for the banded kernel

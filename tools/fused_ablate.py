@@ -233,6 +233,10 @@ def make_kernel_v2(variant, nt=NT):
                         for d in range(n_dy):
                             if "noyred" in variant:
                                 pol = u[:, 0, :].astype(jnp.float32)
+                            elif "ythird" in variant:
+                                b3 = max(8, ((bh // 3) // 8) * 8)
+                                w = wyt_c[rbl, d, :b3, :].astype(jnp.float32)
+                                pol = jnp.sum(u[:, :b3, :] * w[None], axis=1)
                             elif "rtree" in variant:
                                 w = wyt_c[rbl, d].astype(jnp.float32)
                                 pol = None
