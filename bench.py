@@ -121,8 +121,15 @@ def main():
     # BASELINE row 2: reference-free (single-ref) alignment, K=1,
     # update_ref=False — the ``pre_align_run_m`` workload
     # (README.md:31-38, published 2.4x-9.4x GPU vs CPU ali2d_base).
-    reffree_pps = _time_step(dev, N_DEV, shift_chunk=8, reps=3, k=1,
-                             update_ref=False)
+    try:
+        reffree_pps = _time_step(dev, N_DEV, shift_chunk=8, reps=3, k=1,
+                                 update_ref=False)
+    except Exception:
+        # same fused-unavailable fallback as the mref row: never let a
+        # row crash the one-JSON-line contract
+        reffree_pps = _time_step(dev, N_DEV, shift_chunk=8, reps=3, k=1,
+                                 update_ref=False,
+                                 sampler="matmul" if on_accel else "gather")
     reffree_cpu = _time_step(cpu, 4 * N_CPU, shift_chunk=4, reps=CPU_REPS,
                              sampler="gather", k=1, update_ref=False)
 

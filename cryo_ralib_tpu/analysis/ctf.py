@@ -32,20 +32,30 @@ def compute_ctf(freqs, dfu, dfv, dfang, volt, cs, w, phase_shift=0.0,
     Args mirror ``compute_ctf_np`` (src/utils_ralib.py:354-386):
       freqs: (M, 2) spatial frequencies (1/A).
       dfu, dfv: defocus U/V (A);  dfang: astigmatism angle (deg).
+        Scalars give the reference behavior; (N,) arrays broadcast a
+        particle axis and return (N, M).
       volt: kV;  cs: mm;  w: amplitude contrast ratio;
       phase_shift: deg;  bfactor: envelope B-factor (A^2) or None.
       xp: numpy or jax.numpy.
-    Returns (M,) CTF values.
+    Returns (M,) CTF values, or (N, M) for per-particle defocus arrays.
     """
     volt = volt * 1000.0
     cs = cs * 1e7
-    dfang = dfang * np.pi / 180.0
+    dfu = xp.asarray(dfu)
+    dfv = xp.asarray(dfv)
+    dfang = xp.asarray(dfang) * (np.pi / 180.0)
     phase_shift = phase_shift * np.pi / 180.0
     lam = 12.2639 / np.sqrt(volt + 0.97845e-6 * volt ** 2)
     x = freqs[:, 0]
     y = freqs[:, 1]
     ang = xp.arctan2(y, x)
     s2 = x ** 2 + y ** 2
+    if max(getattr(a, "ndim", 0) for a in (dfu, dfv, dfang)):
+        dfu = xp.reshape(dfu, (-1, 1))
+        dfv = xp.reshape(dfv, (-1, 1))
+        dfang = xp.reshape(dfang, (-1, 1))
+        ang = ang[None, :]
+        s2 = s2[None, :]
     df = 0.5 * (dfu + dfv + (dfu - dfv) * xp.cos(2.0 * (ang - dfang)))
     gamma = (2.0 * np.pi * (-0.5 * df * lam * s2
                             + 0.25 * cs * lam ** 3 * s2 ** 2) - phase_shift)

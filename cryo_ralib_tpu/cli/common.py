@@ -41,8 +41,10 @@ def add_common_flags(p: argparse.ArgumentParser, reffree: bool = False):
                    help="per-particle CTF parameters: a RELION .star file "
                         "or a whitespace table with columns "
                         "'dfu [dfv [dfang]]' (A / A / deg)")
-    p.add_argument("--apix", type=float, default=1.0,
-                   help="pixel size in A (CTF path)")
+    p.add_argument("--apix", type=float, default=None,
+                   help="pixel size in A (CTF path; default: the STAR "
+                        "file's DetectorPixelSize/Magnification if "
+                        "present, else 1.0)")
     p.add_argument("--voltage", type=float, default=300.0,
                    help="acceleration voltage in kV (CTF path)")
     p.add_argument("--Cs", type=float, default=2.7,
@@ -136,14 +138,22 @@ def load_ctf_params(args, n: int) -> dict | None:
         from ..io.star import Starfile, parse_ctf_star
 
         star = Starfile.load(path)
+        # angpix=None lets parse_ctf_star derive apix from the file's
+        # DetectorPixelSize/Magnification; --apix overrides
         rows = parse_ctf_star(star.df, d=0, angpix=args.apix)
-        dfu, dfv, dfang = rows[:, 2], rows[:, 3], rows[:, 4]
+        apix = float(rows[0, 1])
+        dfu, dfang = rows[:, 2], rows[:, 4]
+        # parse_ctf_star zero-fills absent columns; dfv=0 would mean
+        # extreme astigmatism, so an absent DefocusV defaults to dfu
+        dfv = rows[:, 3] if "_rlnDefocusV" in star.df else dfu
         voltage = float(rows[0, 5]) or args.voltage
         cs = float(rows[0, 6]) or args.Cs
         w = float(rows[0, 7]) or args.ac
         phase_shift = float(rows[0, 8])
     else:
-        rows = np.atleast_2d(np.loadtxt(path, dtype=np.float64))
+        # ndmin=2 keeps a single-column file as (N, 1), not a row vector
+        rows = np.loadtxt(path, dtype=np.float64, ndmin=2)
+        apix = args.apix if args.apix is not None else 1.0
         dfu = rows[:, 0]
         dfv = rows[:, 1] if rows.shape[1] > 1 else dfu
         dfang = rows[:, 2] if rows.shape[1] > 2 else np.zeros_like(dfu)
@@ -152,7 +162,7 @@ def load_ctf_params(args, n: int) -> dict | None:
         print(f"ERROR: {dfu.shape[0]} CTF rows for {n} particles",
               file=sys.stderr)
         raise SystemExit(2)
-    return dict(dfu=dfu, dfv=dfv, dfang=dfang, apix=args.apix,
+    return dict(dfu=dfu, dfv=dfv, dfang=dfang, apix=apix,
                 voltage=voltage, cs=cs, w=w, phase_shift=phase_shift)
 
 

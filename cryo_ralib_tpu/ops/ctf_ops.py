@@ -56,33 +56,11 @@ def ctf_rfft2(nx: int, apix, dfu, dfv, dfang, voltage=300.0, cs=2.7,
     """
     freqs = rfft2_freqs(nx, apix)
     shape = freqs.shape[:-1]
-    fx = xp.asarray(freqs[..., 0]).reshape(-1)
-    fy = xp.asarray(freqs[..., 1]).reshape(-1)
-    dfu = xp.asarray(dfu)
-    scalar = getattr(dfu, "ndim", 0) == 0
-    if scalar:
-        ctf = compute_ctf(xp.stack([fx, fy], -1), dfu, xp.asarray(dfv),
-                          xp.asarray(dfang), voltage, cs, w,
-                          phase_shift=phase_shift, bfactor=bfactor, xp=xp)
+    flat = xp.asarray(freqs.reshape(-1, 2))
+    ctf = compute_ctf(flat, dfu, dfv, dfang, voltage, cs, w,
+                      phase_shift=phase_shift, bfactor=bfactor, xp=xp)
+    if getattr(xp.asarray(dfu), "ndim", 0) == 0:
         return ctf.reshape(shape).astype(xp.float32)
-    dfv = xp.asarray(dfv)
-    dfang_r = xp.asarray(dfang) * (np.pi / 180.0)
-    # inline the broadcastable form of compute_ctf (its (M, 2) freqs
-    # signature does not broadcast a particle axis)
-    volt = voltage * 1000.0
-    cs_a = cs * 1e7
-    lam = 12.2639 / np.sqrt(volt + 0.97845e-6 * volt ** 2)
-    ang = xp.arctan2(fy, fx)[None, :]
-    s2 = (fx ** 2 + fy ** 2)[None, :]
-    df = 0.5 * (dfu[:, None] + dfv[:, None]
-                + (dfu[:, None] - dfv[:, None])
-                * xp.cos(2.0 * (ang - dfang_r[:, None])))
-    gamma = (2.0 * np.pi * (-0.5 * df * lam * s2
-                            + 0.25 * cs_a * lam ** 3 * s2 ** 2)
-             - phase_shift * np.pi / 180.0)
-    ctf = np.sqrt(1.0 - w ** 2) * xp.sin(gamma) - w * xp.cos(gamma)
-    if bfactor is not None:
-        ctf = ctf * xp.exp(-bfactor / 4.0 * s2)
     return ctf.reshape((-1,) + shape).astype(xp.float32)
 
 

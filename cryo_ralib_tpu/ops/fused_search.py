@@ -574,6 +574,10 @@ def fused_supported(cfg: AlignConfig, n_classes: int) -> bool:
         return False
     if cfg.img_dim > 128:
         return False
+    if n_classes > 128:
+        # Nyquist sidecar tables (rny 128x128, c_ny lane per ref) hold
+        # one reference per lane
+        return False
     n_rows = len(cfg.shift_x_vals) * len(cfg.shift_y_vals) * NT
     # banded-kernel accumulators: 2 x (K, n_rows, 256) f32
     acc_bytes = 2 * n_classes * n_rows * 256 * 4

@@ -108,6 +108,40 @@ def test_ctf_context_restores_template():
     assert c_rest > c_plain + 0.02, (c_rest, c_plain)
 
 
+def test_load_ctf_params_star_defaults(tmp_path):
+    """CLI CTF loader: a STAR file without DefocusV must default dfv=dfu
+    (not 0 = extreme astigmatism), and the file's
+    DetectorPixelSize/Magnification must supply apix when --apix is not
+    given (code-review r2 findings)."""
+    import argparse
+
+    from cryo_ralib_tpu.cli.common import load_ctf_params
+
+    star = tmp_path / "p.star"
+    star.write_text(
+        "data_\n\nloop_\n"
+        "_rlnDefocusU #1\n_rlnDetectorPixelSize #2\n_rlnMagnification #3\n"
+        "12000.0 5.0 29411.76\n15000.0 5.0 29411.76\n")
+    args = argparse.Namespace(CTF=True, ctf_file=str(star), apix=None,
+                              voltage=300.0, Cs=2.7, ac=0.1)
+    p = load_ctf_params(args, 2)
+    np.testing.assert_allclose(p["dfv"], p["dfu"])
+    assert p["apix"] == pytest.approx(5.0 * 10000 / 29411.76, rel=1e-4)
+
+    # explicit --apix wins over file metadata
+    args.apix = 1.25
+    assert load_ctf_params(args, 2)["apix"] == pytest.approx(1.25)
+
+    # text path without --apix defaults to 1.0
+    txt = tmp_path / "d.txt"
+    txt.write_text("12000\n15000\n")
+    args = argparse.Namespace(CTF=True, ctf_file=str(txt), apix=None,
+                              voltage=300.0, Cs=2.7, ac=0.1)
+    p = load_ctf_params(args, 2)
+    assert p["apix"] == 1.0
+    np.testing.assert_allclose(p["dfv"], p["dfu"])
+
+
 def test_mref_driver_ctf_changes_results(rng, tmp_path):
     """The mref driver with CTF=True produces different (better-restored)
     references than CTF=False on CTF-corrupted data, and errors without
