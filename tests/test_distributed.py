@@ -36,14 +36,14 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from cryo_ralib_tpu.config import AlignConfig
 from cryo_ralib_tpu.models.steps import make_align_step
-from cryo_ralib_tpu.parallel.mesh import make_mesh
+from cryo_ralib_tpu.parallel.mesh import make_mesh, make_mesh_2d
 from cryo_ralib_tpu.params import AlignParams
 from cryo_ralib_tpu.utils.synthetic import blob_stack, class_templates
 
 assert jax.process_count() == nproc
 assert len(jax.devices()) == 4 * nproc
 
-nx, k, n = 64, 3, 16
+nx, k, n = 64, 4, 16
 cfg = AlignConfig(img_dim=nx, ring_num=20, ring_len=256, shift_step=1.0,
                   shift_rng_x=1.0, shift_rng_y=1.0)
 # deterministic data, identical in every process
@@ -52,30 +52,41 @@ rng = np.random.default_rng(1000)
 data = (base[rng.integers(0, k, n)]
         + rng.normal(0, 0.05, (n, nx, nx))).astype(np.float32)
 
-mesh = make_mesh()  # all 8 global devices
-shard = NamedSharding(mesh, P("dp"))
+from jax.experimental import multihost_utils
+
 def put(host, sharding):
     return jax.make_array_from_callback(host.shape, sharding,
                                         lambda idx: host[idx])
-imgs = put(data, shard)
-gidx = put(np.arange(n, dtype=np.int32), shard)
-valid = put(np.ones(n, np.float32), shard)
-p0 = AlignParams.zeros(n)
-params = AlignParams(*(put(np.asarray(x), shard) for x in p0))
-refs = put(base, NamedSharding(mesh, P()))
 
-step = make_align_step(cfg, k, update_ref=True, mesh=mesh,
-                       sampler="gather", dist="gspmd", donate=False)
-out = step(imgs, refs, params, gidx, valid)
+def run(mesh, ref_spec):
+    shard = NamedSharding(mesh, P("dp"))
+    imgs = put(data, shard)
+    gidx = put(np.arange(n, dtype=np.int32), shard)
+    valid = put(np.ones(n, np.float32), shard)
+    p0 = AlignParams.zeros(n)
+    params = AlignParams(*(put(np.asarray(x), shard) for x in p0))
+    refs = put(base, NamedSharding(mesh, ref_spec))
+    step = make_align_step(cfg, k, update_ref=True, mesh=mesh,
+                           sampler="gather", dist="gspmd", donate=False)
+    out = step(imgs, refs, params, gidx, valid)
+    ref_id = multihost_utils.process_allgather(out.params.ref_id,
+                                               tiled=True)
+    return out, np.asarray(ref_id)
 
-from jax.experimental import multihost_utils
-ref_id = multihost_utils.process_allgather(out.params.ref_id, tiled=True)
+# 1-D dp mesh over all 8 global devices
+out1, rid1 = run(make_mesh(), P())
+# 2-D (dp, ref) mesh: the large-K path, across processes
+out2, rid2 = run(make_mesh_2d(4, 2), P("ref"))
+
 if pid == 0:
     np.savez(os.path.join(outdir, "out.npz"),
-             class_sums=np.asarray(out.class_sums),
-             counts=np.asarray(out.counts),
-             sx_sum=np.asarray(out.sx_sum),
-             ref_id=np.asarray(ref_id))
+             class_sums=np.asarray(out1.class_sums),
+             counts=np.asarray(out1.counts),
+             sx_sum=np.asarray(out1.sx_sum),
+             ref_id=rid1,
+             class_sums2=np.asarray(out2.class_sums),
+             counts2=np.asarray(out2.counts),
+             ref_id2=rid2)
 jax.distributed.shutdown()
 """
 
@@ -128,7 +139,7 @@ def test_two_process_step_matches_single(tmp_path):
     from cryo_ralib_tpu.params import AlignParams
     from cryo_ralib_tpu.utils.synthetic import blob_stack, class_templates
 
-    nx, k, n = 64, 3, 16
+    nx, k, n = 64, 4, 16
     cfg = AlignConfig(img_dim=nx, ring_num=20, ring_len=256, shift_step=1.0,
                       shift_rng_x=1.0, shift_rng_y=1.0)
     base = class_templates(k, nx)
@@ -146,3 +157,11 @@ def test_two_process_step_matches_single(tmp_path):
         got["class_sums"], np.asarray(exp.class_sums),
         atol=5e-4 * np.abs(got["class_sums"]).max())
     np.testing.assert_allclose(got["sx_sum"], float(exp.sx_sum), atol=1e-3)
+
+    # the multi-process 2-D ('dp','ref') mesh run agrees too
+    np.testing.assert_array_equal(got["counts2"], np.asarray(exp.counts))
+    np.testing.assert_array_equal(got["ref_id2"],
+                                  np.asarray(exp.params.ref_id))
+    np.testing.assert_allclose(
+        got["class_sums2"], np.asarray(exp.class_sums),
+        atol=5e-4 * np.abs(got["class_sums2"]).max())
