@@ -35,7 +35,7 @@ NX = 90
 K = 8
 N_DEV = 8192
 N_CPU = 128
-CPU_REPS = 3
+CPU_REPS = 5
 CFG = AlignConfig(img_dim=NX, ring_num=36, ring_len=256,
                   shift_step=1.0, shift_rng_x=3.0, shift_rng_y=3.0)
 
@@ -70,12 +70,15 @@ def _time_step(device, n, shift_chunk, reps, sampler="auto", k=K,
     # blocking; a host fetch is the only reliable completion barrier.
     np.asarray(fn(images, refs, fresh_params(), gidx, valid).counts)
 
-    t0 = time.perf_counter()
+    # median of per-rep timings: the shared-host CPU proxy is noisy and
+    # a single slow rep would swing vs_baseline by 50%+
+    times = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = fn(images, refs, fresh_params(), gidx, valid)
         np.asarray(out.counts)
-    dt = (time.perf_counter() - t0) / reps
-    return n / dt
+        times.append(time.perf_counter() - t0)
+    return n / float(np.median(times))
 
 
 def _time_rot_shift(device, n, reps, engine):
@@ -94,12 +97,13 @@ def _time_rot_shift(device, n, reps, engine):
 
     fn = jax.jit(partial(rot_shift2d, engine=engine))
     np.asarray(fn(images, ang, sx, sy, mir)[0, 0, 0])
-    t0 = time.perf_counter()
+    times = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = fn(images, ang, sx, sy, mir)
         np.asarray(out[0, 0, 0])
-    dt = (time.perf_counter() - t0) / reps
-    return n / dt
+        times.append(time.perf_counter() - t0)
+    return n / float(np.median(times))
 
 
 def main():
