@@ -579,9 +579,13 @@ def fused_supported(cfg: AlignConfig, n_classes: int) -> bool:
         # one reference per lane
         return False
     n_rows = len(cfg.shift_x_vals) * len(cfg.shift_y_vals) * NT
-    # banded-kernel accumulators: 2 x (K, n_rows, 256) f32
-    acc_bytes = 2 * n_classes * n_rows * 256 * 4
-    return acc_bytes <= 24 * 1024 * 1024
+    # K-scaled scratch: 2 accumulators (K, n_rows, 256) f32 plus the
+    # angle-row buffer (2K * n_rows, 256) f32 — together 4*K*n_rows*1KB.
+    # ~30 MB of sampling tables + image/polar buffers ride on top; keep
+    # the total under the ~110 MB VMEM budget (v5e).  K=32 at S=49
+    # (51 MB) compiles and runs; K=64 does not.
+    kscr_bytes = 4 * n_classes * n_rows * 256 * 4
+    return kscr_bytes <= 52 * 1024 * 1024
 
 
 def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
