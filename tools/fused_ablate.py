@@ -18,8 +18,12 @@ additive (the VPU and MXU overlap); use them to rank, not to budget.
 Graveyard (measured slower or flat; kept out of the kernel):
 slab-streamed y-reduction, row-major polar + one-DFT-per-block,
 register-combined ring accumulation (multi-MB "register" temporaries
-spill), NT=16/32 tiles, 6/9/18 y-band classes, a 4->3 shear-pass merge
-in transform_batch_mm.
+spill), ring-pair-combined ccf RMW, NT=16/32 tiles, 6/9/18 y-band
+classes, a 4->3 shear-pass merge in transform_batch_mm, and a fused
+Pallas transform kernel (all four shear passes in VMEM): both a
+per-particle-dot variant (80 ms) and a tile-batched block-diagonal
+variant (94 ms) lost to the XLA 4-pass pipeline (45 ms) on v5e — the
+XLA giant-matmul shapes beat VMEM locality for this op.
 """
 
 import os
