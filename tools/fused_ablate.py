@@ -15,6 +15,12 @@ DFT+ccf+Nyquist), no_yred (y-tent contraction replaced by a slice),
 sample_only (x-matmul + y-reduce + polar writes only).  Deltas are NOT
 additive (the VPU and MXU overlap); use them to rank, not to budget.
 
+End-of-r2 map (8192 particles, K=8, S=49, v5e): full 181.8 ms,
+no_ccf 87.5, no_yred 132.1, sample_only 83.0 — the DFT+ccf block
+(~94 ms, dominated by the 4 accumulator RMW streams per ring) is the
+top r3 target, the y-tent contraction (~50 ms) second; the x-tent
+matmul is near its MXU floor (~43 ms, fully overlapped).
+
 Graveyard (measured slower or flat; kept out of the kernel):
 slab-streamed y-reduction, row-major polar + one-DFT-per-block,
 register-combined ring accumulation (multi-MB "register" temporaries
