@@ -98,33 +98,78 @@ class CtfContext:
     Built once per run from per-particle defocus; drivers call
     ``premultiply(images)`` during preprocessing and
     ``restore(sums, assign)`` in the reference update.
+
+    Scales to streaming-size stacks: only per-particle *defocus scalars*
+    are stored; the (batch, H, Fw) CTF chunks are synthesized on device
+    per fixed-size batch (one compile), so device memory stays
+    O(batch * H * Fw) instead of O(N * H * Fw) — the same
+    host-streaming contract as ``models/engine.py``.
     """
 
-    def __init__(self, nx: int, ctf_params: dict, snr: float = 1.0):
+    def __init__(self, nx: int, ctf_params: dict, snr: float = 1.0,
+                 batch: int = 2048):
         p = dict(ctf_params)
         dfu = np.atleast_1d(np.asarray(p.pop("dfu"), np.float64))
         dfv = np.atleast_1d(np.asarray(p.pop("dfv", dfu), np.float64))
         dfang = np.atleast_1d(np.asarray(p.pop("dfang", 0.0), np.float64))
         n = max(dfu.size, dfv.size, dfang.size)
-        dfu, dfv, dfang = (np.broadcast_to(a, (n,)) for a in
-                           (dfu, dfv, dfang))
+        self.df = np.stack([np.broadcast_to(a, (n,)).astype(np.float64)
+                            for a in (dfu, dfv, dfang)], axis=1)  # (N, 3)
         self.snr = float(snr)
         self.nx = nx
-        ctf_np = ctf_rfft2(nx, p.pop("apix", 1.0), dfu, dfv, dfang,
-                           voltage=p.pop("voltage", 300.0),
-                           cs=p.pop("cs", 2.7), w=p.pop("w", 0.1),
-                           phase_shift=p.pop("phase_shift", 0.0),
-                           bfactor=p.pop("bfactor", None))
+        self.n = n
+        self.batch = min(batch, n)
+        self.scalars = dict(apix=p.pop("apix", 1.0),
+                            voltage=p.pop("voltage", 300.0),
+                            cs=p.pop("cs", 2.7), w=p.pop("w", 0.1),
+                            phase_shift=p.pop("phase_shift", 0.0),
+                            bfactor=p.pop("bfactor", None))
         if p:
             raise ValueError(f"unknown ctf_params keys: {sorted(p)}")
-        self.ctf = jnp.asarray(ctf_np)
+        flat = rfft2_freqs(nx, self.scalars["apix"]).reshape(-1, 2)
+        self._freqs = jnp.asarray(flat, jnp.float32)
+        sc = self.scalars
 
-    def premultiply(self, images):
-        """filt_ctf over the full stack (jitted once)."""
-        if images.shape[0] != self.ctf.shape[0]:
-            raise ValueError(
-                f"{images.shape[0]} images vs {self.ctf.shape[0]} CTFs")
-        return jax.jit(filt_ctf)(jnp.asarray(images), self.ctf)
+        def ctf_chunk(df):
+            """(b, 3) defocus rows -> (b, H, Fw) CTFs on device."""
+            ctf = compute_ctf(self._freqs, df[:, 0], df[:, 1], df[:, 2],
+                              sc["voltage"], sc["cs"], sc["w"],
+                              phase_shift=sc["phase_shift"],
+                              bfactor=sc["bfactor"], xp=jnp)
+            return ctf.reshape(-1, nx, nx // 2 + 1).astype(jnp.float32)
+
+        self._ctf_chunk = jax.jit(ctf_chunk)
+        self._premul = jax.jit(lambda im, df: filt_ctf(im, ctf_chunk(df)))
+        self._ctf2 = jax.jit(
+            lambda df, rid, k: class_ctf2_sum(ctf_chunk(df), rid, k),
+            static_argnums=2)
+
+    def _chunks(self):
+        """Fixed-size (start, rows) chunks; the tail is padded so every
+        call hits the same compiled program."""
+        b = self.batch
+        for i in range(0, self.n, b):
+            sl = self.df[i:i + b]
+            pad = b - sl.shape[0]
+            if pad:
+                sl = np.concatenate([sl, np.zeros((pad, 3))], axis=0)
+            yield i, min(b, self.n - i), sl
+
+    def premultiply(self, images) -> np.ndarray:
+        """filt_ctf over the stack, streamed in fixed-size batches."""
+        images = np.asarray(images, np.float32)
+        if images.shape[0] != self.n:
+            raise ValueError(f"{images.shape[0]} images vs {self.n} CTFs")
+        out = np.empty(images.shape, np.float32)
+        for i, nrows, df in self._chunks():
+            im = images[i:i + self.batch]
+            pad = self.batch - im.shape[0]
+            if pad:
+                im = np.concatenate(
+                    [im, np.zeros((pad,) + im.shape[1:], np.float32)])
+            out[i:i + nrows] = np.asarray(
+                self._premul(jnp.asarray(im), jnp.asarray(df)))[:nrows]
+        return out
 
     def restore(self, summed, assign=None):
         """Wiener-restore per-class summed averages.
@@ -134,8 +179,18 @@ class CtfContext:
         """
         k = summed.shape[0]
         if assign is None:
-            assign = jnp.zeros((self.ctf.shape[0],), jnp.int32)
-        ctf2 = jax.jit(class_ctf2_sum, static_argnums=2)(
-            self.ctf, jnp.asarray(assign, jnp.int32), k)
+            assign = np.zeros((self.n,), np.int32)
+        assign = np.asarray(assign, np.int32)
+        ctf2 = None
+        for i, nrows, df in self._chunks():
+            rid = assign[i:i + self.batch]
+            pad = self.batch - rid.shape[0]
+            if pad:
+                # padded rows get class 0 but zero defocus -> compute_ctf
+                # still yields nonzero values, so mask them via an
+                # out-of-range class id (one_hot gives all-zero rows)
+                rid = np.concatenate([rid, np.full((pad,), k, np.int32)])
+            part = self._ctf2(jnp.asarray(df), jnp.asarray(rid), k)
+            ctf2 = part if ctf2 is None else ctf2 + part
         return np.asarray(jax.jit(wiener_restore, static_argnums=2)(
             jnp.asarray(summed), ctf2, self.snr), np.float32)

@@ -108,6 +108,23 @@ def test_ctf_context_restores_template():
     assert c_rest > c_plain + 0.02, (c_rest, c_plain)
 
 
+def test_ctf_context_chunked_equals_whole():
+    """Streaming-scale contract: a small batch size (with a padded tail
+    chunk) gives the same premultiply and Wiener restore as one batch."""
+    rng = np.random.default_rng(9)
+    nx, n, k = 32, 11, 2
+    imgs = rng.standard_normal((n, nx, nx)).astype(np.float32)
+    dfu = rng.uniform(8000, 25000, n)
+    assign = rng.integers(0, k, n)
+    summed = rng.standard_normal((k, nx, nx)).astype(np.float32)
+    whole = CtfContext(nx, dict(dfu=dfu, apix=1.5), snr=5.0, batch=n)
+    chunked = CtfContext(nx, dict(dfu=dfu, apix=1.5), snr=5.0, batch=4)
+    np.testing.assert_allclose(chunked.premultiply(imgs),
+                               whole.premultiply(imgs), atol=1e-5)
+    np.testing.assert_allclose(chunked.restore(summed, assign),
+                               whole.restore(summed, assign), atol=1e-5)
+
+
 def test_load_ctf_params_star_defaults(tmp_path):
     """CLI CTF loader: a STAR file without DefocusV must default dfv=dfu
     (not 0 = extreme astigmatism), and the file's
