@@ -55,7 +55,8 @@ def main(argv=None):
         center=args.center, maxit=args.maxit,
         CTF=ctf_params is not None, ctf_params=ctf_params,
         snr=args.snr, user_func_name=args.function,
-        random_method=args.random_method, log=log, mesh=mesh,
+        random_method=args.random_method, nomirror=args.nomirror,
+        mode=args.mode, log=log, mesh=mesh,
         sampler=args.sampler, resume=args.resume,
     )
     if args.header_writeback:

@@ -38,6 +38,14 @@ class AlignConfig:
                   path which hardcodes 256).
       shift_step: step of the x/y shift grid (``ts``).
       shift_rng_x / shift_rng_y: inclusive +/- shift search ranges.
+      mode: "F" full rings (the only mode the reference GPU path supports)
+            or "H" half rings — samples theta in [0, pi) so the rotation
+            search covers [0, 180); the EMAN2 CPU twin uses this for SCF
+            randomization (test_reffree_gpu_align.py:714, sp_alignment
+            ``Numrinit(mode="H")`` convention).
+      mirror: search the mirrored orientation channel (``--nomirror``
+            disables it; the reference CPU twin's ``nomirror`` flag,
+            test_reffree_gpu_align.py:921 — its GPU path always mirrors).
     """
 
     img_dim: int
@@ -46,6 +54,8 @@ class AlignConfig:
     shift_step: float = 1.0
     shift_rng_x: float = 0.0
     shift_rng_y: float = 0.0
+    mode: str = "F"
+    mirror: bool = True
 
     def __post_init__(self):
         if self.img_dim <= 0:
@@ -56,6 +66,8 @@ class AlignConfig:
             raise ValueError("ring_len must be even (rfft over rings)")
         if self.shift_step <= 0:
             raise ValueError("shift_step must be positive")
+        if self.mode not in ("F", "H"):
+            raise ValueError("mode must be 'F' (full rings) or 'H' (half)")
         # Same sanity check as the reference drivers
         # (test_mref_gpu_align.py:314-316): particle must not cross the
         # image boundary under the largest shift.
@@ -69,12 +81,15 @@ class AlignConfig:
         """(ring_num, ring_len, 2) array of (x, y) offsets from image center.
 
         Ring ``i`` lies at radius ``i+1``; sample ``j`` at angle
-        ``j / ring_len * 2*pi``.  Equivalent of
+        ``j / ring_len * 2*pi`` (mode "F") or ``j / ring_len * pi``
+        (mode "H": the half-circle sampling of EMAN2's
+        ``Polar2Dm(mode="H")``).  Equivalent of
         ``generate_polar_sampling_points`` (cuda/gpu_aln_common.cu:39-62).
         """
         i = np.arange(self.ring_num, dtype=np.float64)[:, None]
         j = np.arange(self.ring_len, dtype=np.float64)[None, :]
-        ang = j / float(self.ring_len) * 2.0 * math.pi
+        span = 2.0 * math.pi if self.mode == "F" else math.pi
+        ang = j / float(self.ring_len) * span
         x = np.cos(ang) * (i + 1.0)
         y = np.sin(ang) * (i + 1.0)
         return np.stack([x, y], axis=-1).astype(np.float32)
@@ -122,6 +137,13 @@ class AlignConfig:
         reference GPU behavior, see SURVEY.md §3.3.)
         """
         return (np.arange(self.ring_num, dtype=np.float32) + 1.0)
+
+    @property
+    def angle_step(self) -> float:
+        """Degrees per angle bin of the rotational ccf: the ring span
+        (360 for "F", 180 for "H" — EMAN2 ``ang_n`` convention) divided by
+        ring_len."""
+        return (360.0 if self.mode == "F" else 180.0) / self.ring_len
 
     @property
     def shift_limit(self) -> float:

@@ -31,7 +31,7 @@ from ..config import AlignConfig
 from ..params import AlignParams
 from ..parallel.batching import plan_batch_size
 from ..parallel.mesh import shard_stack
-from .steps import make_align_step
+from .steps import make_align_step, make_align_step_shc
 
 
 @dataclass
@@ -41,6 +41,7 @@ class IterationResult:
     peak: np.ndarray         # (N,)
     sx_sum: float
     sy_sum: float
+    nope: int = 0            # SHC only: particles with no improving candidate
 
 
 class AlignmentEngine:
@@ -49,8 +50,9 @@ class AlignmentEngine:
     def __init__(self, data: np.ndarray, cfg: AlignConfig, n_classes: int,
                  mesh=None, sampler: str = "auto", update_ref: bool = True,
                  batch_size: int | None = None, shift_chunk: int = 8,
-                 verbose: bool = False):
+                 verbose: bool = False, random_method: str = ""):
         self.n = data.shape[0]
+        self.random_method = random_method
         self.cfg = cfg
         self.n_classes = n_classes
         self.mesh = mesh
@@ -78,6 +80,10 @@ class AlignmentEngine:
         if self.resident:
             self._imgs, self._gidx, self._valid = shard_stack(data, mesh)
             self._params = AlignParams.zeros(self._imgs.shape[0])
+            if random_method == "SHC":
+                # previousmax seeded at 1.0e-23 (test_reffree_gpu_align.py:724)
+                self._prevmax = self._place(
+                    np.full(self._imgs.shape[0], 1.0e-23, np.float32))
             step_kw = dict(donate=True)
         else:
             # pad the host stack shape-wise only virtually: batches slice it
@@ -89,11 +95,21 @@ class AlignmentEngine:
                 "mirror": np.zeros(self.n, np.int32),
                 "ref_id": np.zeros(self.n, np.int32),
             }
+            if random_method == "SHC":
+                self._prevmax_np = np.full(self.n, 1.0e-23, np.float32)
             step_kw = dict(donate=False)
-        self._step = make_align_step(cfg, n_classes=n_classes,
-                                     shift_chunk=shift_chunk,
-                                     update_ref=update_ref, mesh=mesh,
-                                     sampler=sampler, **step_kw)
+        if random_method == "SHC":
+            self._step = make_align_step_shc(cfg, n_classes=n_classes,
+                                             shift_chunk=shift_chunk,
+                                             mesh=mesh)
+        elif random_method:
+            raise ValueError(f"unsupported random_method {random_method!r} "
+                             "(only '' and 'SHC')")
+        else:
+            self._step = make_align_step(cfg, n_classes=n_classes,
+                                         shift_chunk=shift_chunk,
+                                         update_ref=update_ref, mesh=mesh,
+                                         sampler=sampler, **step_kw)
 
     # -- params access ---------------------------------------------------
     def params_np(self) -> AlignParams:
@@ -144,10 +160,39 @@ class AlignmentEngine:
         else:
             self._params_np["ref_id"][:] = ref_id
 
+    # -- previousmax access (SHC) ----------------------------------------
+    def previousmax_np(self) -> np.ndarray:
+        assert self.random_method == "SHC"
+        if self.resident:
+            return np.asarray(self._prevmax)[: self.n]
+        return self._prevmax_np.copy()
+
+    def set_previousmax(self, pm: np.ndarray):
+        assert self.random_method == "SHC"
+        if self.resident:
+            pad = self._prevmax.shape[0] - self.n
+            full = np.concatenate([np.asarray(pm, np.float32),
+                                   np.full(pad, 1.0e-23, np.float32)])
+            self._prevmax = self._place(full)
+        else:
+            self._prevmax_np[:] = pm
+
     # -- one iteration ---------------------------------------------------
     def iterate(self, refs: np.ndarray) -> IterationResult:
         refs_j = self._place_refs(refs)
         if self.resident:
+            if self.random_method == "SHC":
+                shc = self._step(self._imgs, refs_j, self._params,
+                                 self._gidx, self._valid, self._prevmax)
+                out = shc.step
+                self._prevmax = shc.previousmax
+                self._params = out.params
+                return IterationResult(
+                    class_sums=np.asarray(out.class_sums),
+                    counts=np.asarray(out.counts, np.int64),
+                    peak=np.asarray(out.peak)[: self.n],
+                    sx_sum=float(out.sx_sum), sy_sum=float(out.sy_sum),
+                    nope=int(shc.nope))
             out = self._step(self._imgs, refs_j, self._params, self._gidx,
                              self._valid)
             self._params = out.params
@@ -164,6 +209,7 @@ class AlignmentEngine:
         peak = np.zeros(self.n, np.float32)
         sx_sum = 0.0
         sy_sum = 0.0
+        nope = 0
         b = self.batch
         p = self._params_np
         for start in range(0, self.n, b):
@@ -192,7 +238,16 @@ class AlignmentEngine:
                 self._place(padded(p["shift_y"], np.float32)),
                 self._place(padded(p["mirror"], np.int32)),
                 self._place(padded(p["ref_id"], np.int32)))
-            out = self._step(imgs_dev, refs_j, params_b, gidx, valid)
+            if self.random_method == "SHC":
+                pm_b = np.full(b, 1.0e-23, np.float32)
+                pm_b[:m] = self._prevmax_np[sl]
+                shc = self._step(imgs_dev, refs_j, params_b, gidx, valid,
+                                 self._place(pm_b))
+                out = shc.step
+                self._prevmax_np[sl] = np.asarray(shc.previousmax)[:m]
+                nope += int(shc.nope)
+            else:
+                out = self._step(imgs_dev, refs_j, params_b, gidx, valid)
             newp = out.params
             p["angle"][sl] = np.asarray(newp.angle)[:m]
             p["shift_x"][sl] = np.asarray(newp.shift_x)[:m]
@@ -204,7 +259,7 @@ class AlignmentEngine:
             peak[sl] = np.asarray(out.peak)[:m]
             sx_sum += float(out.sx_sum)
             sy_sum += float(out.sy_sum)
-        return IterationResult(sums, counts, peak, sx_sum, sy_sum)
+        return IterationResult(sums, counts, peak, sx_sum, sy_sum, nope)
 
     # -- placement helpers ----------------------------------------------
     def _place(self, arr):

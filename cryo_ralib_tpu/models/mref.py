@@ -35,6 +35,7 @@ from ..ops.masks import model_circle, normalize_mask
 from ..io.eman_hdf import write_image
 from ..io.star import write_text_row
 from ..utils.log import RunLogger
+from ..utils.profiling import annotate
 from .checkpoint import load_checkpoint, save_checkpoint
 from .engine import AlignmentEngine
 from .user_functions import factory
@@ -152,7 +153,10 @@ def mref_ali2d_tpu(
             log.add("resumed from checkpoint at iteration %d" % start_it)
 
     for it in range(start_it, max_iter):
-        out = engine.iterate(refi)
+        # named phase scopes for jax.profiler traces (NVTX parity with
+        # the reference drivers, test_mref_gpu_align.py:89,329-590)
+        with annotate("mref::align_iter"):
+            out = engine.iterate(refi)
         sums = out.class_sums                  # (K, 2, H, W)
         counts = out.counts
         assign = engine.params_np().ref_id[:n].astype(np.int64)
@@ -199,7 +203,8 @@ def mref_ali2d_tpu(
         refim = os.path.join(outdir, "aqm%03d.hdf" % it) if outdir else None
         # (H, W)-sized reference conditioning runs on the CPU backend —
         # eager ops on tunneled TPUs pay ~32ms dispatch + AOT compile each
-        with jax.default_device(jax.devices("cpu")[0]):
+        with annotate("mref::ref_update"), \
+                jax.default_device(jax.devices("cpu")[0]):
             for j in range(numref):
                 if frsc is not None:
                     filtered, _cs = user_func([mask, center, new_refs[j],

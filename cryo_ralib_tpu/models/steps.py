@@ -22,7 +22,8 @@ from ..config import AlignConfig
 from ..params import AlignParams, gpu_params_to_align2d
 from ..ops.classavg import class_sum_oe
 from ..ops.search import (decode_params, prepare_ref_spectra,
-                          rotational_shift_search, rotational_shift_search_mm)
+                          rotational_shift_search, rotational_shift_search_mm,
+                          rotational_shift_search_shc)
 from ..ops.transform import transform_batch, transform_batch_mm
 
 
@@ -107,6 +108,76 @@ def align_step(images, refs, params: AlignParams, global_index, valid,
         sy_sum = jax.lax.psum(sy_sum, axis_name)
     peak = jnp.where(valid > 0, result.best_val, 0.0) if valid is not None else result.best_val
     return StepOutput(new_params, sums, counts, peak, sx_sum, sy_sum)
+
+
+class ShcStepOutput(NamedTuple):
+    step: StepOutput
+    previousmax: jax.Array  # (N,) updated per-particle best-so-far ccf
+    nope: jax.Array         # () int32 count of non-improved particles
+
+
+def align_step_shc(images, refs, params: AlignParams, global_index, valid,
+                   previousmax, cfg: AlignConfig, *, n_classes: int,
+                   shift_chunk: int = 8, fast: bool = True,
+                   axis_name: str | None = None) -> ShcStepOutput:
+    """One SHC (stochastic hill climbing) iteration.
+
+    ``random_method="SHC"`` semantics of the CPU twin
+    (test_reffree_gpu_align.py:519-524,724): each particle takes the
+    first candidate beating its ``previousmax`` rather than the global
+    argmax; non-improvers keep their previous params and are counted in
+    ``nope``.  Runs the exact gather sampling engine
+    (``rotational_shift_search_shc``).
+    """
+    ref_fw = prepare_ref_spectra(refs, cfg)
+    result, found = rotational_shift_search_shc(
+        images, ref_fw, params, cfg, previousmax, shift_chunk=shift_chunk)
+    decoded = decode_params(result, params, cfg, update_ref=True)
+    keep = found
+    new_params = AlignParams(
+        angle=jnp.where(keep, decoded.angle, params.angle),
+        shift_x=jnp.where(keep, decoded.shift_x, params.shift_x),
+        shift_y=jnp.where(keep, decoded.shift_y, params.shift_y),
+        mirror=jnp.where(keep, decoded.mirror, params.mirror),
+        ref_id=jnp.where(keep, decoded.ref_id, params.ref_id),
+    )
+    new_prevmax = jnp.where(found, result.best_val, previousmax)
+    transformed = transform_batch(images, new_params)
+    sums, counts = class_sum_oe(transformed, new_params.ref_id, n_classes,
+                                global_index=global_index, valid=valid)
+    sx_sum, sy_sum = _header_shift_sums(new_params, valid)
+    v = valid if valid is not None else jnp.ones_like(previousmax)
+    nope = jnp.sum(((~found) & (v > 0)).astype(jnp.int32))
+    if axis_name is not None:
+        sums = jax.lax.psum(sums, axis_name)
+        counts = jax.lax.psum(counts, axis_name)
+        sx_sum = jax.lax.psum(sx_sum, axis_name)
+        sy_sum = jax.lax.psum(sy_sum, axis_name)
+        nope = jax.lax.psum(nope, axis_name)
+    peak = jnp.where(v > 0, new_prevmax, 0.0)
+    return ShcStepOutput(
+        StepOutput(new_params, sums, counts, peak, sx_sum, sy_sum),
+        new_prevmax, nope)
+
+
+def make_align_step_shc(cfg: AlignConfig, n_classes: int,
+                        shift_chunk: int = 8, mesh=None):
+    """Jitted SHC step, optionally GSPMD-sharded over a 'dp' mesh axis."""
+    fn = partial(align_step_shc, cfg=cfg, n_classes=n_classes,
+                 shift_chunk=shift_chunk)
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+        param_shard = AlignParams(shard, shard, shard, shard, shard)
+        kwargs["in_shardings"] = (shard, repl, param_shard, shard, shard,
+                                  shard)
+        kwargs["out_shardings"] = ShcStepOutput(
+            StepOutput(param_shard, repl, repl, shard, repl, repl),
+            shard, repl)
+    return jax.jit(fn, **kwargs)
 
 
 def raw_sum_step(images, global_index, valid, *, n_classes: int = 1):

@@ -90,10 +90,15 @@ def ccf_rows(orig_f, mirr_f, ring_len: int):
     flattened argmax reproduces the reference table's
     [mirror][shift][ref][angle] index order
     (``CcfResultTable``, cuda/gpu_aln_noref.cu:2172-2178).
+    ``mirr_f=None`` (the ``--nomirror`` search) returns (N, 1, C, K, L)
+    with only the original channel.
 
     Note: cuFFT C2R is unnormalized (values L x larger); we use the
     normalized inverse — a positive scale that cannot change any argmax or
     the parabolic peak offset.
     """
-    stacked = jnp.stack([orig_f, mirr_f], axis=1)  # (N, 2, C, K, F)
+    if mirr_f is None:
+        stacked = orig_f[:, None]                  # (N, 1, C, K, F)
+    else:
+        stacked = jnp.stack([orig_f, mirr_f], axis=1)  # (N, 2, C, K, F)
     return irfft_mm(stacked, n=ring_len, axis=-1)

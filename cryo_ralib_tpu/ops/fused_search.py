@@ -29,8 +29,14 @@ VPU work and accumulator traffic vs the r1 512-lane zero-padded layout
 Sampling/DFT matmuls run bf16 x bf16 -> f32 (MXU native); the y-tent
 contraction and ccf accumulation are f32.
 
-The legacy unbanded kernel (``banded=0``) keeps the r1 layout: 129 bins
-zero-padded to 256 lanes, re/im side by side in 512 lanes.
+The kernel body carries static ``stage`` flags ("full" in production;
+"no_ccf"/"no_yred"/"sample_only" for tools/fused_ablate.py) so the
+ablation harness times the real kernel, not a hand-copied twin, and a
+static ``do_mirror`` flag: ``--nomirror`` searches drop the mirrored
+channel entirely (half the ccf work and accumulator scratch).
+
+(The r1 512-lane unbanded kernel was removed in r3 — it shared the
+banded VMEM gate while needing twice the scratch, ADVICE r2.)
 """
 
 from __future__ import annotations
@@ -62,26 +68,6 @@ def _pad_up(x: int, m: int) -> int:
 
 
 @lru_cache(maxsize=None)
-def _dft_packed():
-    """(256, 512) bf16: [:, 0:129] = cos, [:, 256:385] = sin."""
-    c, s = _rfft_mats(L)
-    out = np.zeros((L, 2 * FP), np.float32)
-    out[:, :F] = c
-    out[:, FP:FP + F] = s
-    return out.astype(jnp.bfloat16)
-
-
-@lru_cache(maxsize=None)
-def _irfft_packed():
-    """(512, 256) bf16: rows [0:129] = Cr, rows [256:385] = Ci."""
-    cr, ci = _irfft_mats(L)
-    out = np.zeros((2 * FP, L), np.float32)
-    out[:F] = cr
-    out[FP:FP + F] = ci
-    return out.astype(jnp.bfloat16)
-
-
-@lru_cache(maxsize=None)
 def _dft_tight():
     """(256, 384) bf16: [0:128] cos bins 0..127, [128:256] sin bins
     0..127, col 256 = cos bin 128 (Nyquist), rest zero."""
@@ -102,148 +88,6 @@ def _irfft_tight():
     out[:128] = cr[:128]
     out[128:] = ci[:128]
     return out.astype(jnp.bfloat16)
-
-
-def _kernel_fused(img_ref, wxt_ref, wyt_ref, dft_ref, ref_ref, irf_ref,
-                  prio_ref, out_ref, polar_scr, acc_o, acc_m, rows_scr,
-                  *, n_dx, n_dy, n_ref, rpb, hp, q_b):
-    """One kernel = the whole search: polar sample + ring DFT + ccf
-    accumulation per ring block, then (last block) inverse DFT + priority
-    argmax.  Nothing but the per-particle result leaves VMEM."""
-    rb = pl.program_id(1)
-    n_rows = n_dx * n_dy * NT
-    n_e = 2 * n_dx * n_dy * n_ref
-
-    @pl.when(rb == 0)
-    def _():
-        acc_o[:] = jnp.zeros_like(acc_o)
-        acc_m[:] = jnp.zeros_like(acc_m)
-
-    img = img_ref[:].astype(jnp.bfloat16).reshape(NT * hp, 128)
-    for c in range(n_dx):
-        u = jnp.dot(img, wxt_ref[c], preferred_element_type=jnp.float32)
-        u = u.reshape(NT, hp, q_b).astype(jnp.bfloat16)
-        for d in range(n_dy):
-            w = wyt_ref[d]  # (hp, q_b) bf16
-            pol = jnp.sum((u * w[None]).astype(jnp.float32), axis=1)
-            polar_scr[(c * n_dy + d) * NT:(c * n_dy + d + 1) * NT, :] = pol
-
-    for rr in range(rpb):
-        rows = polar_scr[:, rr * L:(rr + 1) * L]            # (rows, 256) f32
-        spec = jnp.dot(rows.astype(jnp.bfloat16), dft_ref[:],
-                       preferred_element_type=jnp.float32)  # (rows, 512)
-        s_re = spec[:, :FP]
-        s_im = spec[:, FP:]
-        for k in range(n_ref):
-            r_re = ref_ref[rr, k, :FP][None]   # (1, 256)
-            r_im = ref_ref[rr, k, FP:][None]
-            a = s_re * r_re
-            b = s_im * r_im
-            ct = s_re * r_im
-            dt = s_im * r_re
-            # k-major accumulators: acc[k] is one contiguous (rows, 512)
-            # block, so these are unit-stride row updates
-            acc_o[k] += jnp.concatenate([a + b, ct - dt], axis=-1)
-            acc_m[k] += jnp.concatenate([a - b, -(ct + dt)], axis=-1)
-        del s_re, s_im
-
-    @pl.when(rb == pl.num_programs(1) - 1)
-    def _():
-        # inverse DFT: rows laid out [(m*K+k)*n_rows + (c*n_dy+d)*NT + n]
-        for m, acc in ((0, acc_o), (1, acc_m)):
-            for k in range(n_ref):
-                packed = acc[k]                              # (n_rows, 512)
-                rows = jnp.dot(packed.astype(jnp.bfloat16), irf_ref[:],
-                               preferred_element_type=jnp.float32)
-                rows_scr[(m * n_ref + k) * n_rows:
-                         (m * n_ref + k + 1) * n_rows, :] = rows
-
-        # vectorized priority argmax: prio_ref maps the storage slab
-        # index s = (m*K + k)*n_dxy + (c*n_dy + d) to the reference
-        # priority order e = ((m*n_dx + c)*n_dy + d)*K + k
-        big = jnp.float32(1e9)
-        allr = rows_scr[:].reshape(n_e, NT, L)
-        bv = jnp.max(allr, axis=0)                           # (NT, L)
-        prio = prio_ref[:, 0].reshape(n_e, 1, 1)
-        bm = jnp.min(jnp.where(allr == bv[None], prio, big), axis=0)
-
-        vmax = jnp.max(bv, axis=-1, keepdims=True)           # (NT, 1)
-        mask = bv == vmax
-        emin = jnp.min(jnp.where(mask, bm, big), axis=-1, keepdims=True)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (NT, L),
-                                        1).astype(jnp.float32)
-        amin = jnp.min(jnp.where(mask & (bm == emin), lane, big),
-                       axis=-1, keepdims=True)
-
-        lane128 = jax.lax.broadcasted_iota(jnp.int32, (NT, 128), 1)
-        hdr = (jnp.where(lane128 == 0, vmax, 0.0)
-               + jnp.where(lane128 == 1, amin, 0.0)
-               + jnp.where(lane128 == 2, emin, 0.0))
-        out_ref[0, :, :128] = hdr
-
-        for n in range(NT):
-            e_n = emin[n, 0].astype(jnp.int32)
-            m = e_n // (n_dx * n_dy * n_ref)
-            rest = e_n % (n_dx * n_dy * n_ref)
-            c = rest // (n_dy * n_ref)
-            rest2 = rest % (n_dy * n_ref)
-            d = rest2 // n_ref
-            k = rest2 % n_ref
-            loc = (m * n_ref + k) * n_rows + (c * n_dy + d) * NT
-            slab = rows_scr[pl.ds(loc, NT), :]   # 8-aligned dynamic load
-            out_ref[0, n:n + 1, 128:128 + L] = slab[n:n + 1, :]
-
-
-@lru_cache(maxsize=None)
-def _build_fused(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
-                 n_rings: int, interpret: bool):
-    """Compile-cached pallas_call wrapper for one geometry."""
-    q_b = rpb * L
-    nrb = n_rings // rpb
-    n_rows = n_dx * n_dy * NT
-    n_e = 2 * n_dx * n_dy * n_ref
-
-    kern = partial(_kernel_fused, n_dx=n_dx, n_dy=n_dy, n_ref=n_ref,
-                   rpb=rpb, hp=hp, q_b=q_b)
-
-    def call(img, wxt, wyt, dft, refp, irf, prio):
-        t = img.shape[0] // NT
-        return pl.pallas_call(
-            kern,
-            grid=(t, nrb),
-            in_specs=[
-                pl.BlockSpec((NT, hp, 128), lambda i, r: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_dx, 128, q_b), lambda i, r: (0, 0, r),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_dy, hp, q_b), lambda i, r: (0, 0, r),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((L, 2 * FP), lambda i, r: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((rpb, n_ref, 2 * FP), lambda i, r: (r, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((2 * FP, L), lambda i, r: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_e, 128), lambda i, r: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, NT, 128 + L), lambda i, r: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((t, NT, 128 + L), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((n_rows, q_b), jnp.float32),
-                pltpu.VMEM((n_ref, n_rows, 2 * FP), jnp.float32),
-                pltpu.VMEM((n_ref, n_rows, 2 * FP), jnp.float32),
-                pltpu.VMEM((2 * n_ref * n_rows, L), jnp.float32),
-            ],
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(img, wxt, wyt, dft, refp, irf, prio)
-
-    return call
-
-
 
 
 def _class_plan(cfg, hp: int, rpb: int, n_classes: int = 3):
@@ -283,7 +127,8 @@ def _class_plan(cfg, hp: int, rpb: int, n_classes: int = 3):
 
 
 def _kernel_banded2(img_ref, wxt_ref, *rest,
-                    n_dx, n_dy, n_ref, rpb, q_b, classes):
+                    n_dx, n_dy, n_ref, rpb, q_b, classes,
+                    do_mirror=True, stage="full"):
     """Band-limited fused search with ROLLED ring loops and the tight
     256-lane frequency packing: ``len(classes)`` class sections, each a
     fori_loop over its ring blocks with a uniform 8-aligned y-band,
@@ -296,16 +141,33 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
     (lanes = rings) via a one-hot lane mask and folded back exactly at
     finalize: C_ny = nyq_scr @ rny (per-(row, k) Nyquist ccf), whose
     irfft contribution is the alternating rank-1 row
-    C_ny * (-1)^l / L.  Same semantics as _kernel_fused."""
+    C_ny * (-1)^l / L.
+
+    Static flags: ``do_mirror=False`` (the --nomirror search) drops the
+    mirrored channel — no acc_m scratch, half the ccf updates and half
+    the rows_scr/finalize work.  ``stage`` disables stages for the
+    measure-first ablation harness (tools/fused_ablate.py): "no_yred"
+    replaces the y-tent contraction with a slice, "no_ccf" skips the
+    DFT+ccf block, "sample_only" additionally skips the Nyquist
+    finalize; ablated stages emit a max-only dummy result.  Production
+    always runs "full"."""
     nc = len(classes)
     wyt_refs = rest[:2 * nc]            # (A, B) chunk tables per class
+    tail = rest[2 * nc:]
     (dft_ref, ref_ref, rny_ref, oh_ref, irf_ref, prio_ref, out_ref,
-     polar_scr, nyq_scr, acc_o, acc_m, rows_scr) = rest[2 * nc:]
+     polar_scr, nyq_scr) = tail[:9]
+    if do_mirror:
+        acc_o, acc_m, rows_scr = tail[9:]
+    else:
+        acc_o, rows_scr = tail[9:]
+        acc_m = None
     n_rows = n_dx * n_dy * NT
-    n_e = 2 * n_dx * n_dy * n_ref
+    n_mirr = 2 if do_mirror else 1
+    n_e = n_mirr * n_dx * n_dy * n_ref
 
     acc_o[:] = jnp.zeros_like(acc_o)
-    acc_m[:] = jnp.zeros_like(acc_m)
+    if do_mirror:
+        acc_m[:] = jnp.zeros_like(acc_m)
     nyq_scr[:] = jnp.zeros_like(nyq_scr)
 
     for cls_idx, (start, sz, y0, bh,
@@ -331,13 +193,19 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
                                 (wyt_a, a_off, a_wh, 0),
                                 (wyt_b, b_off, b_wh, 1)):
                             lane0 = rr * L + ch * 128
-                            w = wyt_ch[rbl, d, :, rr * 128:(rr + 1) * 128]
-                            pol = jnp.sum(
-                                u[:, off:off + wh, lane0:lane0 + 128]
-                                * w.astype(jnp.float32)[None], axis=1)
+                            if stage == "no_yred":
+                                pol = u[:, 0, lane0:lane0 + 128]
+                            else:
+                                w = wyt_ch[rbl, d, :,
+                                           rr * 128:(rr + 1) * 128]
+                                pol = jnp.sum(
+                                    u[:, off:off + wh, lane0:lane0 + 128]
+                                    * w.astype(jnp.float32)[None], axis=1)
                             polar_scr[base:base + NT,
                                       lane0:lane0 + 128] = pol
                 del u
+            if stage in ("no_ccf", "sample_only"):
+                return 0
             for rr in range(rpb):
                 ring = rb * rpb + rr
                 rows = polar_scr[:, rr * L:(rr + 1) * L]
@@ -359,8 +227,9 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
                     dt = s_im * r_re
                     acc_o[0, :, :128] += a + b
                     acc_o[0, :, 128:] += ct - dt
-                    acc_m[0, :, :128] += a - b
-                    acc_m[0, :, 128:] += -(ct + dt)
+                    if do_mirror:
+                        acc_m[0, :, :128] += a - b
+                        acc_m[0, :, 128:] += -(ct + dt)
                 else:
                     r_re = r[0, :, :128].reshape(n_ref, 1, 128)
                     r_im = r[0, :, 128:].reshape(n_ref, 1, 128)
@@ -370,18 +239,41 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
                     dt = s_im[None] * r_re
                     acc_o[:, :, :128] += a + b
                     acc_o[:, :, 128:] += ct - dt
-                    acc_m[:, :, :128] += a - b
-                    acc_m[:, :, 128:] += -(ct + dt)
+                    if do_mirror:
+                        acc_m[:, :, :128] += a - b
+                        acc_m[:, :, 128:] += -(ct + dt)
             return 0
 
         jax.lax.fori_loop(0, sz, body, 0)
+
+    channels = ((0, acc_o), (1, acc_m)) if do_mirror else ((0, acc_o),)
+
+    if stage != "full":
+        # ablation harness: minimal finalize so every variant produces
+        # an output with the same shape (values are not meaningful)
+        if stage != "sample_only":
+            c_ny = jnp.dot(nyq_scr[:], rny_ref[:],
+                           preferred_element_type=jnp.float32)
+            lane_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+            alt = jnp.where(lane_l % 2 == 0, 1.0 / L, -1.0 / L)
+            for m, acc in channels:
+                for k in range(n_ref):
+                    rows = jnp.dot(acc[k].astype(jnp.bfloat16), irf_ref[:],
+                                   preferred_element_type=jnp.float32)
+                    rows_scr[(m * n_ref + k) * n_rows:
+                             (m * n_ref + k + 1) * n_rows, :] = \
+                        rows + c_ny[:, k:k + 1] * alt
+        allr = rows_scr[:].reshape(n_e, NT, L)
+        out_ref[0, :, :128] = jnp.max(allr, axis=0)[:, :128]
+        out_ref[0, :, 128:] = jnp.zeros((NT, L), jnp.float32)
+        return
 
     # ---- finalize: Nyquist ccf + inverse DFT + priority argmax
     c_ny = jnp.dot(nyq_scr[:], rny_ref[:],
                    preferred_element_type=jnp.float32)    # (n_rows, 128)
     lane_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
     alt = jnp.where(lane_l % 2 == 0, 1.0 / L, -1.0 / L)
-    for m, acc in ((0, acc_o), (1, acc_m)):
+    for m, acc in channels:
         for k in range(n_ref):
             rows = jnp.dot(acc[k].astype(jnp.bfloat16), irf_ref[:],
                            preferred_element_type=jnp.float32)
@@ -423,14 +315,17 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
 
 @lru_cache(maxsize=None)
 def _build_banded2(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
-                   n_rings: int, classes: tuple, interpret: bool):
+                   n_rings: int, classes: tuple, interpret: bool,
+                   do_mirror: bool = True, stage: str = "full"):
     q_b = rpb * L
     n_rows = n_dx * n_dy * NT
-    n_e = 2 * n_dx * n_dy * n_ref
+    n_mirr = 2 if do_mirror else 1
+    n_e = n_mirr * n_dx * n_dy * n_ref
     nrb = n_rings // rpb
 
     kern = partial(_kernel_banded2, n_dx=n_dx, n_dy=n_dy, n_ref=n_ref,
-                   rpb=rpb, q_b=q_b, classes=tuple(classes))
+                   rpb=rpb, q_b=q_b, classes=tuple(classes),
+                   do_mirror=do_mirror, stage=stage)
 
     def call(img, wxt_rb, wyts, dft, refp, rny, oh, irf, prio):
         t = img.shape[0] // NT
@@ -441,6 +336,14 @@ def _build_banded2(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
                     pl.BlockSpec((sz, n_dy, wh, rpb * 128),
                                  lambda i: (0, 0, 0, 0),
                                  memory_space=pltpu.VMEM))
+        scratch = [
+            pltpu.VMEM((n_rows, q_b), jnp.float32),
+            pltpu.VMEM((n_rows, 128), jnp.float32),
+            pltpu.VMEM((n_ref, n_rows, 256), jnp.float32),
+        ]
+        if do_mirror:
+            scratch.append(pltpu.VMEM((n_ref, n_rows, 256), jnp.float32))
+        scratch.append(pltpu.VMEM((n_mirr * n_ref * n_rows, L), jnp.float32))
         return pl.pallas_call(
             kern,
             grid=(t,),
@@ -466,13 +369,7 @@ def _build_banded2(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
             out_specs=pl.BlockSpec((1, NT, 128 + L), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((t, NT, 128 + L), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((n_rows, q_b), jnp.float32),
-                pltpu.VMEM((n_rows, 128), jnp.float32),
-                pltpu.VMEM((n_ref, n_rows, 256), jnp.float32),
-                pltpu.VMEM((n_ref, n_rows, 256), jnp.float32),
-                pltpu.VMEM((2 * n_ref * n_rows, L), jnp.float32),
-            ],
+            scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
@@ -490,6 +387,7 @@ class FusedTables:
 
     def __init__(self, cfg: AlignConfig, n_bands: int = 3):
         assert cfg.ring_len == L, "fused kernels are specialized to 256"
+        assert cfg.mode == "F", "fused kernels assume full rings (mode F)"
         t = build_polar_tables(cfg)
         h = cfg.img_dim
         self.hp = _pad_up(h, 8)
@@ -497,14 +395,6 @@ class FusedTables:
         self.n_rings = cfg.ring_num
         self.n_dx = t.n_dx
         self.n_dy = t.n_dy
-        q = cfg.ring_num * L
-        # wx: (n_dx, Q, W) -> transposed, W padded to 128
-        wxt = np.zeros((t.n_dx, 128, q), np.float32)
-        wxt[:, :h, :] = np.swapaxes(t.wx, 1, 2)
-        self.wxt = wxt.astype(jnp.bfloat16)
-        wyt = np.zeros((t.n_dy, self.hp, q), np.float32)
-        wyt[:, :h, :] = np.swapaxes(t.wy, 1, 2)
-        self.wyt = wyt.astype(jnp.bfloat16)
         q_b = self.rpb * L
         # band-limited layouts: rb-major wxt, class-banded wyt
         nrb = cfg.ring_num // self.rpb
@@ -538,22 +428,22 @@ class FusedTables:
                 assert full - kept < 1e-6, (start + rbl, full - kept)
             self.wyts.append(blk_a.astype(jnp.bfloat16))
             self.wyts.append(blk_b.astype(jnp.bfloat16))
-        self.dft = np.asarray(_dft_packed())
-        self.irf = np.asarray(_irfft_packed())
-        # tight-packing tables for the banded kernel
+        # tight-packing DFT tables
         self.dft_t = np.asarray(_dft_tight())
         self.irf_t = np.asarray(_irfft_tight())
         assert cfg.ring_num <= 128, "Nyquist sidecar uses one lane per ring"
         oh = np.zeros((cfg.ring_num, 128), np.float32)
         oh[np.arange(cfg.ring_num), np.arange(cfg.ring_num)] = 1.0
         self.oh = oh
-        # storage-slab -> reference-priority-order map (see _kernel_b)
-        self.n_e = None  # set per K at call time via prio_table
 
-    def prio_table(self, n_ref: int) -> np.ndarray:
-        n_e = 2 * self.n_dx * self.n_dy * n_ref
+    def prio_table(self, n_ref: int, mirror: bool = True) -> np.ndarray:
+        """Storage-slab -> reference-priority-order map (see the kernel
+        finalize): slab index s = (m*K + k)*n_dxy + (c*n_dy + d) maps to
+        priority e = ((m*n_dx + c)*n_dy + d)*K + k."""
+        n_mirr = 2 if mirror else 1
+        n_e = n_mirr * self.n_dx * self.n_dy * n_ref
         prio = np.zeros((n_e, 128), np.float32)
-        for m in range(2):
+        for m in range(n_mirr):
             for k in range(n_ref):
                 for c in range(self.n_dx):
                     for d in range(self.n_dy):
@@ -565,12 +455,16 @@ class FusedTables:
 
 
 def fused_supported(cfg: AlignConfig, n_classes: int) -> bool:
-    """Geometry gate: the kernels are specialized to ring_len 256, a
-    128-lane image width (boxes >128 px fall back to the matmul path),
-    and a ccf accumulator that fits VMEM.  (The banded kernel clamps its
-    y-band class count to the ring-block count, so few-ring configs are
-    fine.)"""
+    """Geometry gate: the kernels are specialized to ring_len 256, full
+    rings, a 128-lane image width (boxes >128 px fall back to the matmul
+    path), and a ccf accumulator that fits VMEM.  (The banded kernel
+    clamps its y-band class count to the ring-block count, so few-ring
+    configs are fine.)"""
     if cfg.ring_len != L:
+        return False
+    if cfg.mode != "F":
+        # half-ring sampling breaks the half-plane y-window invariant
+        # (all lanes then have sin >= 0); H-mode runs the matmul path
         return False
     if cfg.img_dim > 128:
         return False
@@ -579,25 +473,30 @@ def fused_supported(cfg: AlignConfig, n_classes: int) -> bool:
         # one reference per lane
         return False
     n_rows = len(cfg.shift_x_vals) * len(cfg.shift_y_vals) * NT
-    # K-scaled scratch: 2 accumulators (K, n_rows, 256) f32 plus the
-    # angle-row buffer (2K * n_rows, 256) f32 — together 4*K*n_rows*1KB.
-    # ~30 MB of sampling tables + image/polar buffers ride on top; keep
-    # the total under the ~110 MB VMEM budget (v5e).  K=32 at S=49
-    # (51 MB) compiles and runs; K=64 does not.
-    kscr_bytes = 4 * n_classes * n_rows * 256 * 4
+    # K-scaled scratch per mirror channel: one accumulator (K, n_rows,
+    # 256) f32 plus the angle-row buffer (K * n_rows, 256) f32 — i.e.
+    # 2*K*n_rows*1KB per channel.  ~30 MB of sampling tables +
+    # image/polar buffers ride on top; keep the total under the ~110 MB
+    # VMEM budget (v5e).  K=32 at S=49 mirrored (51 MB) compiles and
+    # runs; K=64 does not (use fused_search_chunked).
+    n_mirr = 2 if cfg.mirror else 1
+    kscr_bytes = 2 * n_mirr * n_classes * n_rows * 256 * 4
     return kscr_bytes <= 52 * 1024 * 1024
 
 
 def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
                  tables: FusedTables | None = None,
-                 interpret: bool = False, banded: int = 2) -> SearchResult:
+                 interpret: bool = False,
+                 _stage: str = "full") -> SearchResult:
     """Drop-in fused-kernel replacement for ``rotational_shift_search_mm``.
 
     Args:
-      images: (N, H, W) f32 (N padded to a multiple of 4 by the caller
+      images: (N, H, W) f32 (N padded to a multiple of NT by the caller
         or here).
       ref_fw: (K, R, F) complex64 weighted reference ring spectra
         (``prepare_ref_spectra``).
+      _stage: stage-ablation hook for tools/fused_ablate.py only; the
+        non-"full" outputs are timing dummies.
     """
     if tables is None:
         tables = FusedTables(cfg)
@@ -612,32 +511,21 @@ def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
     re = jnp.real(ref_fw)   # (K, R, F)
     im = jnp.imag(ref_fw)
 
-    if banded:
-        # tight packing: (R, K, 256) = [re bins 0..127 | im bins 0..127],
-        # Nyquist (re bin 128, real) in its own (ring, k) table
-        refp = jnp.zeros((cfg.ring_num, k, 256), jnp.float32)
-        refp = refp.at[:, :, :128].set(jnp.swapaxes(re[:, :, :128], 0, 1))
-        refp = refp.at[:, :, 128:].set(jnp.swapaxes(im[:, :, :128], 0, 1))
-        rny = jnp.zeros((128, 128), jnp.float32)
-        rny = rny.at[:cfg.ring_num, :k].set(jnp.swapaxes(re[:, :, 128], 0, 1))
-        call = _build_banded2(tables.n_dx, tables.n_dy, k, tables.hp,
-                              tables.rpb, tables.n_rings, tables.classes,
-                              interpret)
-        out = call(img_p, jnp.asarray(tables.wxt_rb),
-                   tuple(jnp.asarray(w) for w in tables.wyts),
-                   jnp.asarray(tables.dft_t), refp, rny,
-                   jnp.asarray(tables.oh), jnp.asarray(tables.irf_t),
-                   jnp.asarray(tables.prio_table(k)))
-    else:
-        # legacy layout: (R, K, 512) with re at [0:129], im at [256:385]
-        refp = jnp.zeros((cfg.ring_num, k, 2 * FP), jnp.float32)
-        refp = refp.at[:, :, :F].set(jnp.swapaxes(re, 0, 1))
-        refp = refp.at[:, :, FP:FP + F].set(jnp.swapaxes(im, 0, 1))
-        call = _build_fused(tables.n_dx, tables.n_dy, k, tables.hp,
-                            tables.rpb, tables.n_rings, interpret)
-        out = call(img_p, jnp.asarray(tables.wxt), jnp.asarray(tables.wyt),
-                   jnp.asarray(tables.dft), refp, jnp.asarray(tables.irf),
-                   jnp.asarray(tables.prio_table(k)))
+    # tight packing: (R, K, 256) = [re bins 0..127 | im bins 0..127],
+    # Nyquist (re bin 128, real) in its own (ring, k) table
+    refp = jnp.zeros((cfg.ring_num, k, 256), jnp.float32)
+    refp = refp.at[:, :, :128].set(jnp.swapaxes(re[:, :, :128], 0, 1))
+    refp = refp.at[:, :, 128:].set(jnp.swapaxes(im[:, :, :128], 0, 1))
+    rny = jnp.zeros((128, 128), jnp.float32)
+    rny = rny.at[:cfg.ring_num, :k].set(jnp.swapaxes(re[:, :, 128], 0, 1))
+    call = _build_banded2(tables.n_dx, tables.n_dy, k, tables.hp,
+                          tables.rpb, tables.n_rings, tables.classes,
+                          interpret, do_mirror=cfg.mirror, stage=_stage)
+    out = call(img_p, jnp.asarray(tables.wxt_rb),
+               tuple(jnp.asarray(w) for w in tables.wyts),
+               jnp.asarray(tables.dft_t), refp, rny,
+               jnp.asarray(tables.oh), jnp.asarray(tables.irf_t),
+               jnp.asarray(tables.prio_table(k, mirror=cfg.mirror)))
     out = out.reshape(n_pad, 128 + L)
 
     val = out[:n, 0]

@@ -131,7 +131,9 @@ def rotational_shift_search(
             orig_f, mirr_f = ccf_spectra_per_particle_ref(sbj_f, ref_fw, params.ref_id)
         else:
             orig_f, mirr_f = ccf_spectra(sbj_f, ref_fw)
-        rows = ccf_rows(orig_f, mirr_f, ring_len)  # (N, 2, C, K, L)
+        if not cfg.mirror:
+            mirr_f = None   # --nomirror: skip the mirrored channel
+        rows = ccf_rows(orig_f, mirr_f, ring_len)  # (N, M, C, K, L)
         rows = rows + chunk_mask[None, None, :, None, None]
         global_sidx = chunk_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
         return _update_best(carry, rows, global_sidx), None
@@ -147,14 +149,15 @@ def rotational_shift_search(
 def _update_best(carry: SearchResult, rows, global_sidx) -> SearchResult:
     """Fold one chunk of ccf rows into the running per-particle best.
 
-    ``rows``: (N, 2, C, K, L) ordered [orig, mirr] / chunk-candidate /
-    ref / angle; ``global_sidx``: (C,) int32 map from chunk candidate to
-    the global shift-grid index.  Flat argmax order (mirror, shift, ref,
-    angle) matches the reference table layout (cuda/gpu_aln_noref.cu:
-    2172-2178); strict '>' keeps the first-seen maximum across chunks,
-    matching the left-to-right tie behavior of the reference row scan.
+    ``rows``: (N, M, C, K, L) ordered [orig, mirr] (M=1 when the mirror
+    channel is disabled) / chunk-candidate / ref / angle; ``global_sidx``:
+    (C,) int32 map from chunk candidate to the global shift-grid index.
+    Flat argmax order (mirror, shift, ref, angle) matches the reference
+    table layout (cuda/gpu_aln_noref.cu:2172-2178); strict '>' keeps the
+    first-seen maximum across chunks, matching the left-to-right tie
+    behavior of the reference row scan.
     """
-    n, _, chunk, k, ring_len = rows.shape
+    n, n_mirr, chunk, k, ring_len = rows.shape
     flat = rows.reshape(n, -1)
     idx = jnp.argmax(flat, axis=1)
     val = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
@@ -168,7 +171,7 @@ def _update_best(carry: SearchResult, rows, global_sidx) -> SearchResult:
     midx = (rest // chunk).astype(jnp.int32)
 
     row = jnp.take_along_axis(
-        rows.reshape(n, 2 * chunk * k, ring_len),
+        rows.reshape(n, n_mirr * chunk * k, ring_len),
         (idx // ring_len)[:, None, None], axis=1)[:, 0, :]
 
     better = val > carry.best_val
@@ -238,7 +241,9 @@ def rotational_shift_search_mm(
             orig_f, mirr_f = ccf_spectra_per_particle_ref(sbj_f, ref_fw, params.ref_id)
         else:
             orig_f, mirr_f = ccf_spectra(sbj_f, ref_fw)
-        rows = ccf_rows(orig_f, mirr_f, ring_len)  # (N, 2, n_dx, K, L)
+        if not cfg.mirror:
+            mirr_f = None   # --nomirror: skip the mirrored channel
+        rows = ccf_rows(orig_f, mirr_f, ring_len)  # (N, M, n_dx, K, L)
         # x-major global order: sidx = xi * n_dy + yi
         global_sidx = jnp.arange(tables.n_dx, dtype=jnp.int32) * n_dy + yi
         return _update_best(carry, rows, global_sidx), None
@@ -249,6 +254,131 @@ def rotational_shift_search_mm(
     else:
         result, _ = jax.lax.scan(body, init, xs)
     return result
+
+
+def rotational_shift_search_shc(
+    images,
+    ref_fw,
+    params: AlignParams,
+    cfg: AlignConfig,
+    previousmax,
+    shift_chunk: int = 8,
+    per_particle_ref: bool = False,
+):
+    """Stochastic-hill-climbing (SHC) variant of the search.
+
+    Instead of the global argmax, each particle takes the FIRST candidate
+    in the reference priority order (mirror, shift, ref) whose angle-row
+    peak beats its ``previousmax`` — the ``random_method="SHC"`` rule of
+    the CPU twin (test_reffree_gpu_align.py:519-524,724: particles carry
+    a ``previousmax`` attr seeded at 1.0e-23; ``nope`` counts
+    non-improvers).  Improvement granularity is a (mirror, shift, ref)
+    candidate with its angle argmax, like EMAN2 ``Util.shc`` which scans
+    candidates and compares each candidate's peak-over-angles; the
+    reference scans in random order, this implementation is deterministic
+    (priority order) — same hill-climbing contract, reproducible tests.
+
+    Returns ``(SearchResult, found)`` where ``found`` is a (N,) bool mask;
+    particles with no improving candidate keep zero-filled result fields
+    and the caller must retain their old params (and previousmax).
+    """
+    n = images.shape[0]
+    ring_len = cfg.ring_len
+    shifts = cfg.shifts
+    s_total = shifts.shape[0]
+    k_dim = ref_fw.shape[0]
+    chunk = max(1, min(shift_chunk, s_total))
+    n_chunks = math.ceil(s_total / chunk)
+    pad = n_chunks * chunk - s_total
+
+    shifts_padded = np.concatenate(
+        [shifts, np.zeros((pad, 2), np.float32)], axis=0
+    ).reshape(n_chunks, chunk, 2)
+    valid = np.concatenate(
+        [np.ones(s_total, np.float32), np.zeros(pad, np.float32)]
+    ).reshape(n_chunks, chunk)
+
+    coords = jnp.asarray(cfg.polar_coords)
+    shifts_dev = jnp.asarray(shifts_padded)
+    mask_dev = jnp.asarray(np.where(valid > 0, 0.0, _NEG_INF).astype(np.float32))
+
+    big = jnp.int32(2**31 - 1)
+    n_mirr = 2 if cfg.mirror else 1
+    init = (
+        SearchResult(
+            best_val=jnp.full((n,), _NEG_INF, jnp.float32),
+            best_row=jnp.zeros((n, ring_len), jnp.float32),
+            best_aidx=jnp.zeros((n,), jnp.int32),
+            best_sidx=jnp.zeros((n,), jnp.int32),
+            best_ref=jnp.zeros((n,), jnp.int32),
+            best_mirror=jnp.zeros((n,), jnp.int32),
+        ),
+        jnp.full((n,), big, jnp.int32),
+    )
+
+    def body(carry, xs):
+        best, best_prio = carry
+        chunk_idx, chunk_shifts, chunk_mask = xs
+        sx = params.shift_x[:, None] + chunk_shifts[None, :, 0]
+        sy = params.shift_y[:, None] + chunk_shifts[None, :, 1]
+        polar = polar_resample(images, coords, sx, sy)
+        sbj_f = ring_spectra(polar)
+        if per_particle_ref:
+            orig_f, mirr_f = ccf_spectra_per_particle_ref(
+                sbj_f, ref_fw, params.ref_id)
+        else:
+            orig_f, mirr_f = ccf_spectra(sbj_f, ref_fw)
+        if not cfg.mirror:
+            mirr_f = None
+        rows = ccf_rows(orig_f, mirr_f, ring_len)  # (N, M, C, K, L)
+        rows = rows + chunk_mask[None, None, :, None, None]
+
+        # per-candidate peak over angles; global priority per candidate
+        rmax = jnp.max(rows, axis=-1)                    # (N, M, C, K)
+        gs = chunk_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        m_i = jnp.arange(n_mirr, dtype=jnp.int32)[:, None, None]
+        c_g = gs[None, :, None]
+        k_i = jnp.arange(k_dim, dtype=jnp.int32)[None, None, :]
+        prio = (m_i * s_total + c_g) * k_dim + k_i       # (M, C, K)
+
+        passing = rmax > previousmax[:, None, None, None]
+        pm = jnp.where(passing, prio[None], big)
+        flatp = pm.reshape(n, -1)
+        idx = jnp.argmin(flatp, axis=1)
+        minp = jnp.take_along_axis(flatp, idx[:, None], axis=1)[:, 0]
+
+        val = jnp.take_along_axis(rmax.reshape(n, -1), idx[:, None],
+                                  axis=1)[:, 0]
+        row = jnp.take_along_axis(
+            rows.reshape(n, n_mirr * chunk * k_dim, ring_len),
+            idx[:, None, None], axis=1)[:, 0, :]
+        aidx = jnp.argmax(row, axis=-1).astype(jnp.int32)
+
+        # decode the *global* priority index (the sidx is already global)
+        ridx = (minp % k_dim).astype(jnp.int32)
+        rest = minp // k_dim
+        sidx = (rest % s_total).astype(jnp.int32)
+        midx = (rest // s_total).astype(jnp.int32)
+
+        better = minp < best_prio
+        sel = lambda new, old: jnp.where(better, new, old)
+        new_best = SearchResult(
+            best_val=sel(val, best.best_val),
+            best_row=jnp.where(better[:, None], row, best.best_row),
+            best_aidx=sel(aidx, best.best_aidx),
+            best_sidx=sel(sidx, best.best_sidx),
+            best_ref=sel(ridx, best.best_ref),
+            best_mirror=sel(midx, best.best_mirror),
+        )
+        return (new_best, jnp.minimum(minp, best_prio)), None
+
+    xs = (jnp.arange(n_chunks, dtype=jnp.int32), shifts_dev, mask_dev)
+    if n_chunks == 1:
+        carry, _ = body(init, (jnp.int32(0), shifts_dev[0], mask_dev[0]))
+    else:
+        carry, _ = jax.lax.scan(body, init, xs)
+    result, best_prio = carry
+    return result, best_prio < big
 
 
 def decode_params(
@@ -263,10 +393,12 @@ def decode_params(
     * shifts accumulate (``+=``) and clamp to ``+/-(img_dim-ring_num-2)``;
     * angle = parabolic refinement of the peak bin (SPARX ``Util::prb1d``
       7-point fit), then EMAN2-compatibility flip ``360 - angle`` and
-      ``+180`` (mod 360) when mirrored.
+      ``+180`` (mod 360) when mirrored.  In mode "H" the bin step is
+      180/ring_len (EMAN2 ``ang_n`` half-ring convention); the same flip
+      applies.
     """
     ring_len = cfg.ring_len
-    step = 360.0 / ring_len
+    step = cfg.angle_step
 
     # 7-point window around the peak, circular in angle (modulo ring_len,
     # as in the CUDA code which wraps with % ring_len).  Gather-free: a

@@ -87,34 +87,34 @@ def prb1d(x: np.ndarray) -> float:
     return 0.0
 
 
-def align_particle_np(img: np.ndarray, refs: np.ndarray, coords: np.ndarray,
-                      ring_weights: np.ndarray, shifts: np.ndarray,
-                      acc_sx: float, acc_sy: float, shift_limit: float):
-    """Full single-particle search + decode.
-
-    Mirrors mref_align_run for one particle: enumerate shifts, build the
-    ccf table rows, global argmax in [mirror][shift][ref][angle] order,
-    then compute_alignment_param decode (cuda/gpu_aln_noref.cu:2249-2314).
-
-    Returns dict(angle, shift_x, shift_y, mirror, ref_id, peak).
-    """
-    r_len = coords.shape[1]
+def _build_table_np(img, refs, coords, ring_weights, shifts,
+                    acc_sx, acc_sy, mirror=True):
+    """(M, S, K, L) ccf table of one particle (M=1 without the mirror
+    channel)."""
     k = refs.shape[0]
     s = shifts.shape[0]
+    r_len = coords.shape[1]
+    n_mirr = 2 if mirror else 1
     ref_polar = np.stack([polar_resample_np(r, coords) for r in refs])
-
-    table = np.empty((2, s, k, r_len), np.float64)
+    table = np.empty((n_mirr, s, k, r_len), np.float64)
     for si in range(s):
         rows = ccf_table_np(
             polar_resample_np(img, coords, acc_sx + shifts[si, 0],
                               acc_sy + shifts[si, 1]),
             ref_polar, ring_weights)
         table[0, si] = rows[0]
-        table[1, si] = rows[1]
+        if mirror:
+            table[1, si] = rows[1]
+    return table
 
-    flat = table.reshape(-1)
-    idx = int(np.argmax(flat))
-    peak = flat[idx]
+
+def _decode_np(table, idx, shifts, acc_sx, acc_sy, shift_limit,
+               mode="F"):
+    """compute_alignment_param decode of one flat table index
+    (cuda/gpu_aln_noref.cu:2249-2314); mode "H" halves the bin step
+    (EMAN2 ang_n half-ring convention)."""
+    n_mirr, s, k, r_len = table.shape
+    peak = table.reshape(-1)[idx]
     aidx = idx % r_len
     rest = idx // r_len
     ridx = rest % k
@@ -124,7 +124,7 @@ def align_particle_np(img: np.ndarray, refs: np.ndarray, coords: np.ndarray,
 
     row = table[midx, sidx, ridx]
     xs = np.array([row[(aidx + i) % r_len] for i in range(-3, 4)])
-    step = 360.0 / r_len
+    step = (360.0 if mode == "F" else 180.0) / r_len
     angle = step * aidx + step * prb1d(xs)
     angle = 360.0 - angle
     if midx == 1:
@@ -136,6 +136,51 @@ def align_particle_np(img: np.ndarray, refs: np.ndarray, coords: np.ndarray,
     sy = min(max(acc_sy + shifts[sidx, 1], -shift_limit), shift_limit)
     return dict(angle=angle, shift_x=sx, shift_y=sy, mirror=int(midx),
                 ref_id=int(ridx), peak=peak)
+
+
+def align_particle_np(img: np.ndarray, refs: np.ndarray, coords: np.ndarray,
+                      ring_weights: np.ndarray, shifts: np.ndarray,
+                      acc_sx: float, acc_sy: float, shift_limit: float,
+                      mode: str = "F", mirror: bool = True):
+    """Full single-particle search + decode.
+
+    Mirrors mref_align_run for one particle: enumerate shifts, build the
+    ccf table rows, global argmax in [mirror][shift][ref][angle] order,
+    then compute_alignment_param decode (cuda/gpu_aln_noref.cu:2249-2314).
+    ``mirror=False`` drops the mirrored channel (--nomirror); ``mode="H"``
+    expects half-ring coords and decodes with the 180-degree span.
+
+    Returns dict(angle, shift_x, shift_y, mirror, ref_id, peak).
+    """
+    table = _build_table_np(img, refs, coords, ring_weights, shifts,
+                            acc_sx, acc_sy, mirror=mirror)
+    idx = int(np.argmax(table.reshape(-1)))
+    return _decode_np(table, idx, shifts, acc_sx, acc_sy, shift_limit,
+                      mode=mode)
+
+
+def align_particle_shc_np(img: np.ndarray, refs: np.ndarray,
+                          coords: np.ndarray, ring_weights: np.ndarray,
+                          shifts: np.ndarray, acc_sx: float, acc_sy: float,
+                          shift_limit: float, previousmax: float,
+                          mode: str = "F", mirror: bool = True):
+    """SHC decode rule: the FIRST candidate in [mirror][shift][ref]
+    priority order whose peak-over-angles beats ``previousmax``, decoded
+    at that row's angle argmax (test_reffree_gpu_align.py:519-524,724;
+    EMAN2 ``Util.shc`` candidate-peak semantics, deterministic
+    priority-order variant of the reference's random scan).  Returns None
+    when no candidate improves (the particle keeps its params; "nope")."""
+    table = _build_table_np(img, refs, coords, ring_weights, shifts,
+                            acc_sx, acc_sy, mirror=mirror)
+    r_len = table.shape[-1]
+    rowmax = table.reshape(-1, r_len).max(axis=-1)
+    passing = np.nonzero(rowmax > previousmax)[0]
+    if passing.size == 0:
+        return None
+    cand = int(passing[0])
+    aidx = int(np.argmax(table.reshape(-1, r_len)[cand]))
+    return _decode_np(table, cand * r_len + aidx, shifts, acc_sx, acc_sy,
+                      shift_limit, mode=mode)
 
 
 def transform_np(img: np.ndarray, angle: float, sx: float, sy: float,

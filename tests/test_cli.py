@@ -89,7 +89,15 @@ def test_reffree_cli_end_to_end(tmp_path, stack_files):
     params = np.loadtxt(os.path.join(outdir, "initial2Dparams.txt"))
     assert params.shape[0] == get_image_count(stack)
 
-    # unsupported reference-GPU flags are rejected loudly
+    # unsupported reference-GPU flags are rejected loudly (--mode=H and
+    # --random_method=SHC became real capability in r3; --Fourvar has not)
     with pytest.raises(SystemExit):
         cli_reffree.main([stack, str(tmp_path / "y"), "--ou=24",
-                          "--mode=H"])
+                          "--Fourvar"])
+
+    # H-mode runs end-to-end through the CLI now
+    rc = cli_reffree.main([stack, str(tmp_path / "out_h"), "--ou=24",
+                           "--xr=1", "--ts=1", "--maxit=1",
+                           "--sampler=gather", "--mode=H",
+                           "--function=ref_ali2d_no_filter"])
+    assert rc == 0

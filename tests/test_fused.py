@@ -136,3 +136,45 @@ def test_fused_odd_geometry(rng):
     p = decode_params(r_fu, params, cfg)
     assert set(np.round(np.unique(np.abs(np.asarray(p.shift_x))), 3)) \
         <= {0.0, 0.5, 1.0}
+
+
+def test_fused_nomirror_matches_matmul(rng):
+    """--nomirror specialization: no acc_m scratch, halved priority table
+    (r3); winners must match the XLA path with the mirror channel off."""
+    n, nx, k = 8, 64, 3
+    cfg = AlignConfig(img_dim=nx, ring_num=20, ring_len=256,
+                      shift_step=1.0, shift_rng_x=2.0, shift_rng_y=2.0,
+                      mirror=False)
+    imgs = jnp.asarray(rng.standard_normal((n, nx, nx)).astype(np.float32))
+    refs = jnp.asarray(rng.standard_normal((k, nx, nx)).astype(np.float32))
+    rfw = prepare_ref_spectra(refs, cfg)
+    params = AlignParams.zeros(n)
+    r_mm = rotational_shift_search_mm(imgs, rfw, params, cfg, fast=True)
+    r_fu = fused_search(imgs, rfw, params, cfg, interpret=True)
+    assert np.all(np.asarray(r_fu.best_mirror) == 0)
+    va = np.asarray(r_mm.best_val)
+    np.testing.assert_allclose(np.asarray(r_fu.best_val), va,
+                               atol=5e-3 * np.abs(va).max())
+    # random-noise candidates can tie within bf16 rounding; winners must
+    # agree except where the two engines' peaks are within that noise
+    # (same contract as tools/tpu_parity_check.py)
+    same = ((np.asarray(r_mm.best_aidx) == np.asarray(r_fu.best_aidx))
+            & (np.asarray(r_mm.best_sidx) == np.asarray(r_fu.best_sidx))
+            & (np.asarray(r_mm.best_ref) == np.asarray(r_fu.best_ref)))
+    gap = np.abs(np.asarray(r_fu.best_val) - va) / np.abs(va).max()
+    assert np.all(same | (gap <= 5e-3)), (same, gap)
+    assert same.mean() >= 0.75, same
+
+
+def test_fused_supported_mode_and_mirror_gates():
+    cfg_h = AlignConfig(img_dim=64, ring_num=20, ring_len=256, mode="H")
+    assert not fused_supported(cfg_h, 3)
+    # nomirror halves the scratch: a K that exceeds the mirrored gate
+    # fits without the mirror channel
+    big = AlignConfig(img_dim=90, ring_num=36, ring_len=256,
+                      shift_step=1.0, shift_rng_x=3.0, shift_rng_y=3.0)
+    big_nm = AlignConfig(img_dim=90, ring_num=36, ring_len=256,
+                         shift_step=1.0, shift_rng_x=3.0, shift_rng_y=3.0,
+                         mirror=False)
+    assert not fused_supported(big, 64)
+    assert fused_supported(big_nm, 64)

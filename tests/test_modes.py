@@ -1,0 +1,230 @@
+"""H-mode (half rings), --nomirror and SHC: JAX paths vs the oracle.
+
+These cover the r3 capability additions (VERDICT r2 items 5/7): the CPU
+twin's alignment modes (test_reffree_gpu_align.py:714,724,921) as real
+behavior rather than loud rejection.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from cryo_ralib_tpu import AlignConfig, AlignParams
+from cryo_ralib_tpu.models.steps import align_step_shc, make_align_step_shc
+from cryo_ralib_tpu.ops.search import (decode_params, prepare_ref_spectra,
+                                       rotational_shift_search,
+                                       rotational_shift_search_mm,
+                                       rotational_shift_search_shc)
+from cryo_ralib_tpu.utils import oracle
+from tests.conftest import make_disc_stack
+
+NX = 64
+
+
+def _cfg(**kw):
+    base = dict(img_dim=NX, ring_num=20, ring_len=128,
+                shift_step=1.0, shift_rng_x=2.0, shift_rng_y=2.0)
+    base.update(kw)
+    return AlignConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def stack():
+    r = np.random.default_rng(31)
+    return make_disc_stack(r, 6, NX)
+
+
+@pytest.fixture(scope="module")
+def refs():
+    r = np.random.default_rng(77)
+    return make_disc_stack(r, 3, NX)
+
+
+def _search_and_decode(cfg, imgs, refs, search_fn):
+    params = AlignParams.zeros(imgs.shape[0])
+    rfw = prepare_ref_spectra(jnp.asarray(refs), cfg)
+    res = search_fn(jnp.asarray(imgs), rfw, params, cfg)
+    return decode_params(res, params, cfg)
+
+
+@pytest.mark.parametrize("search_fn", [
+    rotational_shift_search,
+    lambda i, r, p, c: rotational_shift_search_mm(i, r, p, c, fast=False)])
+def test_nomirror_matches_oracle(stack, refs, search_fn):
+    cfg = _cfg(mirror=False)
+    new = _search_and_decode(cfg, stack, refs, search_fn)
+    assert np.all(np.asarray(new.mirror) == 0)
+    for i in range(stack.shape[0]):
+        want = oracle.align_particle_np(
+            stack[i].astype(np.float64), refs.astype(np.float64),
+            cfg.polar_coords, cfg.ring_weights, cfg.shifts,
+            0.0, 0.0, cfg.shift_limit, mirror=False)
+        assert int(new.ref_id[i]) == want["ref_id"], i
+        assert abs(float(new.shift_x[i]) - want["shift_x"]) < 1e-4
+        assert abs(float(new.angle[i]) - want["angle"]) < 5e-3
+
+
+def test_nomirror_changes_result_for_mirrored_input():
+    """An (EMAN2-convention) mirrored copy of a reference must match with
+    mirror=1 under the full search but can only pick a worse mirror=0
+    candidate under --nomirror."""
+    cfg_f = _cfg()
+    cfg_n = _cfg(mirror=False)
+    r = np.random.default_rng(5)
+    # uncorrelated noise references: no accidental rotational matches
+    nrefs = r.standard_normal((2, NX, NX)).astype(np.float32)
+    img = oracle.transform_np(nrefs[1].astype(np.float64),
+                              0.0, 0.0, 0.0, 1).astype(np.float32)[None]
+    full = _search_and_decode(cfg_f, img, nrefs, rotational_shift_search)
+    nomi = _search_and_decode(cfg_n, img, nrefs, rotational_shift_search)
+    assert int(full.mirror[0]) == 1
+    assert int(full.ref_id[0]) == 1
+    assert int(nomi.mirror[0]) == 0
+
+
+def test_hmode_matches_oracle(stack, refs):
+    cfg = _cfg(mode="H")
+    # half-ring coords: all sampled angles in [0, pi)
+    assert np.all(cfg.polar_coords[:, :, 1] >= -1e-5)
+    assert cfg.angle_step == pytest.approx(180.0 / cfg.ring_len)
+    new = _search_and_decode(cfg, stack, refs, rotational_shift_search)
+    for i in range(stack.shape[0]):
+        want = oracle.align_particle_np(
+            stack[i].astype(np.float64), refs.astype(np.float64),
+            cfg.polar_coords, cfg.ring_weights, cfg.shifts,
+            0.0, 0.0, cfg.shift_limit, mode="H")
+        assert int(new.mirror[i]) == want["mirror"], i
+        assert int(new.ref_id[i]) == want["ref_id"], i
+        assert abs(float(new.angle[i]) - want["angle"]) < 5e-3
+
+
+def test_hmode_mm_agrees_with_gather(stack, refs):
+    cfg = _cfg(mode="H")
+    a = _search_and_decode(cfg, stack, refs, rotational_shift_search)
+    b = _search_and_decode(cfg, stack, refs,
+                           lambda i, r, p, c: rotational_shift_search_mm(
+                               i, r, p, c, fast=False))
+    np.testing.assert_array_equal(np.asarray(a.ref_id), np.asarray(b.ref_id))
+    np.testing.assert_allclose(np.asarray(a.angle), np.asarray(b.angle),
+                               atol=5e-3)
+
+
+def test_shc_first_above_matches_oracle(stack, refs):
+    cfg = _cfg()
+    n = stack.shape[0]
+    params = AlignParams.zeros(n)
+    rfw = prepare_ref_spectra(jnp.asarray(refs), cfg)
+    # mid-range previousmax so some particles improve and some do not
+    res0 = rotational_shift_search(jnp.asarray(stack), rfw, params, cfg)
+    peaks = np.asarray(res0.best_val)
+    pm = np.full(n, 1.0e-23, np.float32)
+    pm[0] = peaks[0] * 2.0          # nothing beats this -> nope
+    pm[1] = peaks[1] * 0.9          # only near-peak candidates pass
+
+    res, found = rotational_shift_search_shc(
+        jnp.asarray(stack), rfw, params, cfg, jnp.asarray(pm))
+    found = np.asarray(found)
+    assert not found[0]
+    assert found[1:].all()
+    dec = decode_params(res, params, cfg)
+    for i in range(1, n):
+        want = oracle.align_particle_shc_np(
+            stack[i].astype(np.float64), refs.astype(np.float64),
+            cfg.polar_coords, cfg.ring_weights, cfg.shifts,
+            0.0, 0.0, cfg.shift_limit, float(pm[i]))
+        assert want is not None
+        assert int(dec.mirror[i]) == want["mirror"], i
+        assert int(dec.ref_id[i]) == want["ref_id"], i
+        assert abs(float(dec.shift_x[i]) - want["shift_x"]) < 1e-4
+        assert abs(float(dec.angle[i]) - want["angle"]) < 5e-3
+        assert abs(float(res.best_val[i]) - want["peak"]) < 1e-3 * abs(
+            want["peak"])
+    # oracle agrees particle 0 has no improving candidate
+    assert oracle.align_particle_shc_np(
+        stack[0].astype(np.float64), refs.astype(np.float64),
+        cfg.polar_coords, cfg.ring_weights, cfg.shifts,
+        0.0, 0.0, cfg.shift_limit, float(pm[0])) is None
+
+
+def test_shc_step_keeps_nonimprovers_and_counts_nope(stack):
+    # zero shift range: iteration 2 sees the identical candidate table
+    # (with shifts the accumulated recentering legitimately re-improves)
+    cfg = _cfg(shift_rng_x=0.0, shift_rng_y=0.0)
+    n = stack.shape[0]
+    imgs = jnp.asarray(stack)
+    ref = jnp.asarray(stack.mean(0)[None])
+    gidx = jnp.arange(n, dtype=jnp.int32)
+    valid = jnp.ones((n,), jnp.float32)
+    params = AlignParams.zeros(n)
+    pm = jnp.full((n,), 1.0e-23, jnp.float32)
+
+    out = align_step_shc(imgs, ref, params, gidx, valid, pm, cfg,
+                         n_classes=1)
+    assert int(out.nope) == 0           # everything beats 1e-23
+    # repeated passes against the same reference: previousmax climbs
+    # monotonically and the hill climb terminates (every particle "nope")
+    # within the candidate count; params then stop changing
+    prev_pm = np.asarray(out.previousmax)
+    n_cand = 2 * 1 * 1        # mirror x shifts x refs
+    for _ in range(n_cand + 2):
+        nxt = align_step_shc(imgs, ref, out.step.params, gidx, valid,
+                             out.previousmax, cfg, n_classes=1)
+        pm_now = np.asarray(nxt.previousmax)
+        assert np.all(pm_now >= prev_pm - 1e-6)
+        if int(nxt.nope) == n:
+            np.testing.assert_array_equal(
+                np.asarray(nxt.step.params.angle),
+                np.asarray(out.step.params.angle))
+            np.testing.assert_array_equal(pm_now, prev_pm)
+            break
+        prev_pm = pm_now
+        out = nxt
+    else:
+        raise AssertionError("SHC did not converge within candidate count")
+
+
+def test_shc_sharded_step_matches_single(stack):
+    from cryo_ralib_tpu.parallel.mesh import make_mesh, shard_stack
+
+    cfg = _cfg()
+    n = 8
+    imgs_np = np.concatenate([stack, stack[:2]], axis=0)
+    ref = jnp.asarray(imgs_np.mean(0)[None])
+    mesh = make_mesh(4)
+    step = make_align_step_shc(cfg, n_classes=1, mesh=mesh)
+    imgs_dev, gidx, valid = shard_stack(imgs_np, mesh)
+    pm = jax.device_put(jnp.full((n,), 1.0e-23, jnp.float32), gidx.sharding)
+    out = step(imgs_dev, ref, AlignParams.zeros(n), gidx, valid, pm)
+
+    ref1 = align_step_shc(jnp.asarray(imgs_np), ref, AlignParams.zeros(n),
+                          jnp.arange(n, dtype=jnp.int32),
+                          jnp.ones((n,), jnp.float32),
+                          jnp.full((n,), 1.0e-23, jnp.float32), cfg,
+                          n_classes=1)
+    np.testing.assert_allclose(np.asarray(out.step.class_sums),
+                               np.asarray(ref1.step.class_sums),
+                               atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(out.step.params.mirror),
+                                  np.asarray(ref1.step.params.mirror))
+    assert int(out.nope) == int(ref1.nope)
+
+
+def test_reffree_driver_shc_and_modes(tmp_path, stack):
+    """End-to-end: SHC / nomirror / H-mode through ali2d_base_tpu."""
+    from cryo_ralib_tpu.models.reffree import ali2d_base_tpu
+
+    big = np.concatenate([stack, stack[::-1] * 0.7], axis=0)
+    res_shc = ali2d_base_tpu(big, outdir=str(tmp_path / "shc"), ou=20,
+                             xr=1.0, ts=1.0, maxit=3, random_method="SHC",
+                             sampler="gather")
+    assert res_shc.iterations >= 1
+    res_nm = ali2d_base_tpu(big, outdir=str(tmp_path / "nm"), ou=20,
+                            xr=1.0, ts=1.0, maxit=2, nomirror=True,
+                            sampler="gather")
+    assert np.all(res_nm.params[:, 3] == 0)     # no mirrors assigned
+    res_h = ali2d_base_tpu(big, outdir=str(tmp_path / "h"), ou=20,
+                           xr=1.0, ts=1.0, maxit=2, mode="H",
+                           sampler="gather")
+    assert res_h.iterations >= 1
