@@ -35,7 +35,9 @@ def compute_ctf(freqs, dfu, dfv, dfang, volt, cs, w, phase_shift=0.0,
         Scalars give the reference behavior; (N,) arrays broadcast a
         particle axis and return (N, M).
       volt: kV;  cs: mm;  w: amplitude contrast ratio;
-      phase_shift: deg;  bfactor: envelope B-factor (A^2) or None.
+      phase_shift: deg — scalar, or (N,) for per-particle phase plates
+        (Volta stacks carry varying phase shifts per particle);
+      bfactor: envelope B-factor (A^2) or None.
       xp: numpy or jax.numpy.
     Returns (M,) CTF values, or (N, M) for per-particle defocus arrays.
     """
@@ -44,16 +46,19 @@ def compute_ctf(freqs, dfu, dfv, dfang, volt, cs, w, phase_shift=0.0,
     dfu = xp.asarray(dfu)
     dfv = xp.asarray(dfv)
     dfang = xp.asarray(dfang) * (np.pi / 180.0)
-    phase_shift = phase_shift * np.pi / 180.0
+    phase_shift = xp.asarray(phase_shift) * (np.pi / 180.0)
     lam = 12.2639 / np.sqrt(volt + 0.97845e-6 * volt ** 2)
     x = freqs[:, 0]
     y = freqs[:, 1]
     ang = xp.arctan2(y, x)
     s2 = x ** 2 + y ** 2
-    if max(getattr(a, "ndim", 0) for a in (dfu, dfv, dfang)):
+    if max(getattr(a, "ndim", 0)
+           for a in (dfu, dfv, dfang, phase_shift)):
         dfu = xp.reshape(dfu, (-1, 1))
         dfv = xp.reshape(dfv, (-1, 1))
         dfang = xp.reshape(dfang, (-1, 1))
+        if getattr(phase_shift, "ndim", 0):
+            phase_shift = xp.reshape(phase_shift, (-1, 1))
         ang = ang[None, :]
         s2 = s2[None, :]
     df = 0.5 * (dfu + dfv + (dfu - dfv) * xp.cos(2.0 * (ang - dfang)))

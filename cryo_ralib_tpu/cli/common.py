@@ -140,15 +140,23 @@ def load_ctf_params(args, n: int) -> dict | None:
         # angpix=None lets parse_ctf_star derive apix from the file's
         # DetectorPixelSize/Magnification; --apix overrides
         rows = parse_ctf_star(star.df, d=0, angpix=args.apix)
+        # parse_ctf_star zero-fills absent columns; a missing DefocusU
+        # would silently run an all-zero (nonsense) CTF model (ADVICE r2)
+        if "_rlnDefocusU" not in star.df or not np.any(rows[:, 2]):
+            print(f"ERROR: {path} has no usable _rlnDefocusU column — "
+                  "cannot build a CTF model", file=sys.stderr)
+            raise SystemExit(2)
         apix = float(rows[0, 1])
         dfu, dfang = rows[:, 2], rows[:, 4]
-        # parse_ctf_star zero-fills absent columns; dfv=0 would mean
-        # extreme astigmatism, so an absent DefocusV defaults to dfu
+        # dfv=0 would mean extreme astigmatism, so an absent DefocusV
+        # defaults to dfu
         dfv = rows[:, 3] if "_rlnDefocusV" in star.df else dfu
         voltage = float(rows[0, 5]) or args.voltage
         cs = float(rows[0, 6]) or args.Cs
         w = float(rows[0, 7]) or args.ac
-        phase_shift = float(rows[0, 8])
+        # per-particle phase shift (Volta phase plates): keep the full
+        # column; CtfContext broadcasts it (ADVICE r2)
+        phase_shift = rows[:, 8]
     else:
         # ndmin=2 keeps a single-column file as (N, 1), not a row vector
         rows = np.loadtxt(path, dtype=np.float64, ndmin=2)
@@ -180,11 +188,19 @@ def load_stack(path: str):
     from ..io.mrc import read_mrc
 
     if path.startswith("bdb:"):
-        raise ValueError(
-            "EMAN2 'bdb:' containers are not supported (the reference's "
-            "test_mref_cheng_yu_bdb_cuda.py reads them via EMAN2's BDB "
-            "runtime); convert to HDF first, e.g. "
-            f"`e2proc2d.py {path} stack.hdf` — then pass stack.hdf")
+        # EMAN2 BDB container (the bdb CLI's input format,
+        # test_mref_cheng_yu_bdb_cuda.py:1363-1375) — read through the
+        # system libdb; loud conversion guidance if that is unavailable
+        from ..io.bdb import read_bdb_stack
+
+        try:
+            images, headers = read_bdb_stack(path)
+        except RuntimeError as e:
+            raise ValueError(
+                f"{e}; convert to HDF first, e.g. "
+                f"`e2proc2d.py {path} stack.hdf` — then pass stack.hdf"
+            ) from e
+        return np.asarray(images, np.float32), headers
     ext = os.path.splitext(path)[1].lower()
     if ext in (".hdf", ".h5", ".hdf5"):
         images, headers = read_hdf_stack(path)
@@ -221,9 +237,8 @@ def make_mesh_arg(n_devices: int):
 
 def writeback_headers(stack_path: str, table: np.ndarray, assign=None):
     """Final header write-back (``set_params2D`` + ``assign`` attr,
-    test_mref_cheng_yu_bdb_cuda.py:155-210)."""
-    from ..io.eman_hdf import update_headers
-
+    test_mref_cheng_yu_bdb_cuda.py:155-210) — HDF stacks and ``bdb:``
+    containers."""
     updates = []
     for i in range(table.shape[0]):
         upd = {"xform.align2d": {
@@ -233,4 +248,11 @@ def writeback_headers(stack_path: str, table: np.ndarray, assign=None):
         if assign is not None:
             upd["assign"] = int(assign[i])
         updates.append(upd)
+    if stack_path.startswith("bdb:"):
+        from ..io.bdb import update_bdb_headers
+
+        update_bdb_headers(stack_path, updates)
+        return
+    from ..io.eman_hdf import update_headers
+
     update_headers(stack_path, updates)

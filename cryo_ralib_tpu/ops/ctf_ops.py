@@ -112,9 +112,14 @@ class CtfContext:
         dfu = np.atleast_1d(np.asarray(p.pop("dfu"), np.float64))
         dfv = np.atleast_1d(np.asarray(p.pop("dfv", dfu), np.float64))
         dfang = np.atleast_1d(np.asarray(p.pop("dfang", 0.0), np.float64))
-        n = max(dfu.size, dfv.size, dfang.size)
+        # phase shift is per-particle capable (Volta phase plates,
+        # ADVICE r2): it rides the defocus table as a fourth column
+        phase = np.atleast_1d(np.asarray(p.pop("phase_shift", 0.0),
+                                         np.float64))
+        n = max(dfu.size, dfv.size, dfang.size, phase.size)
         self.df = np.stack([np.broadcast_to(a, (n,)).astype(np.float64)
-                            for a in (dfu, dfv, dfang)], axis=1)  # (N, 3)
+                            for a in (dfu, dfv, dfang, phase)],
+                           axis=1)  # (N, 4)
         self.snr = float(snr)
         self.nx = nx
         self.n = n
@@ -122,7 +127,6 @@ class CtfContext:
         self.scalars = dict(apix=p.pop("apix", 1.0),
                             voltage=p.pop("voltage", 300.0),
                             cs=p.pop("cs", 2.7), w=p.pop("w", 0.1),
-                            phase_shift=p.pop("phase_shift", 0.0),
                             bfactor=p.pop("bfactor", None))
         if p:
             raise ValueError(f"unknown ctf_params keys: {sorted(p)}")
@@ -131,10 +135,10 @@ class CtfContext:
         sc = self.scalars
 
         def ctf_chunk(df):
-            """(b, 3) defocus rows -> (b, H, Fw) CTFs on device."""
+            """(b, 4) [dfu, dfv, dfang, phase] rows -> (b, H, Fw) CTFs."""
             ctf = compute_ctf(self._freqs, df[:, 0], df[:, 1], df[:, 2],
                               sc["voltage"], sc["cs"], sc["w"],
-                              phase_shift=sc["phase_shift"],
+                              phase_shift=df[:, 3],
                               bfactor=sc["bfactor"], xp=jnp)
             return ctf.reshape(-1, nx, nx // 2 + 1).astype(jnp.float32)
 
@@ -152,7 +156,7 @@ class CtfContext:
             sl = self.df[i:i + b]
             pad = b - sl.shape[0]
             if pad:
-                sl = np.concatenate([sl, np.zeros((pad, 3))], axis=0)
+                sl = np.concatenate([sl, np.zeros((pad, 4))], axis=0)
             yield i, min(b, self.n - i), sl
 
     def premultiply(self, images) -> np.ndarray:

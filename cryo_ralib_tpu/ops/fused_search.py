@@ -128,7 +128,7 @@ def _class_plan(cfg, hp: int, rpb: int, n_classes: int = 3):
 
 def _kernel_banded2(img_ref, wxt_ref, *rest,
                     n_dx, n_dy, n_ref, rpb, q_b, classes,
-                    do_mirror=True, stage="full"):
+                    do_mirror=True, stage="full", raw4=False):
     """Band-limited fused search with ROLLED ring loops and the tight
     256-lane frequency packing: ``len(classes)`` class sections, each a
     fori_loop over its ring blocks with a uniform 8-aligned y-band,
@@ -145,7 +145,11 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
 
     Static flags: ``do_mirror=False`` (the --nomirror search) drops the
     mirrored channel — no acc_m scratch, half the ccf updates and half
-    the rows_scr/finalize work.  ``stage`` disables stages for the
+    the rows_scr/finalize work.  ``raw4`` accumulates the four raw
+    products (A=sum s_re*r_re, B=sum s_im*r_im, C=sum s_re*r_im,
+    D=sum s_im*r_re) in one 512-lane accumulator and combines the
+    o/m channels once at finalize — drops the per-ring channel adds
+    from the hot loop (mirrored search only).  ``stage`` disables stages for the
     measure-first ablation harness (tools/fused_ablate.py): "no_yred"
     replaces the y-tent contraction with a slice, "no_ccf" skips the
     DFT+ccf block, "sample_only" additionally skips the Nyquist
@@ -156,18 +160,26 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
     tail = rest[2 * nc:]
     (dft_ref, ref_ref, rny_ref, oh_ref, irf_ref, prio_ref, out_ref,
      polar_scr, nyq_scr) = tail[:9]
-    if do_mirror:
+    if raw4:
+        assert do_mirror, "raw4 layout is for the mirrored search"
+        acc_r, rows_scr = tail[9:]
+        acc_o = acc_m = None
+    elif do_mirror:
         acc_o, acc_m, rows_scr = tail[9:]
+        acc_r = None
     else:
         acc_o, rows_scr = tail[9:]
-        acc_m = None
+        acc_m = acc_r = None
     n_rows = n_dx * n_dy * NT
     n_mirr = 2 if do_mirror else 1
     n_e = n_mirr * n_dx * n_dy * n_ref
 
-    acc_o[:] = jnp.zeros_like(acc_o)
-    if do_mirror:
-        acc_m[:] = jnp.zeros_like(acc_m)
+    if raw4:
+        acc_r[:] = jnp.zeros_like(acc_r)
+    else:
+        acc_o[:] = jnp.zeros_like(acc_o)
+        if do_mirror:
+            acc_m[:] = jnp.zeros_like(acc_m)
     nyq_scr[:] = jnp.zeros_like(nyq_scr)
 
     for cls_idx, (start, sz, y0, bh,
@@ -206,6 +218,34 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
                 del u
             if stage in ("no_ccf", "sample_only"):
                 return 0
+            if raw4 and n_ref > 1:
+                # ring-pair combined RMW: products for all rpb rings of
+                # the block summed in vector registers, ONE accumulator
+                # read-modify-write per block (halves the dominant VMEM
+                # accumulator traffic; the r2 pair experiment lost on the
+                # combined layout where channel adds dominated)
+                upd = [None] * 4
+                for rr in range(rpb):
+                    ring = rb * rpb + rr
+                    rows = polar_scr[:, rr * L:(rr + 1) * L]
+                    spec = jnp.dot(rows.astype(jnp.bfloat16), dft_ref[:],
+                                   preferred_element_type=jnp.float32)
+                    s_re = spec[:, :128]
+                    s_im = spec[:, 128:256]
+                    oh = oh_ref[pl.ds(ring, 1)][0][None, :]
+                    nyq_scr[:, :] += spec[:, 256:257] * oh
+                    r = ref_ref[pl.ds(ring, 1)]
+                    r_re = r[0, :, :128].reshape(n_ref, 1, 128)
+                    r_im = r[0, :, 128:].reshape(n_ref, 1, 128)
+                    ps = (s_re[None] * r_re, s_im[None] * r_im,
+                          s_re[None] * r_im, s_im[None] * r_re)
+                    for j in range(4):
+                        upd[j] = ps[j] if upd[j] is None else upd[j] + ps[j]
+                acc_r[:, :, 0:128] += upd[0]
+                acc_r[:, :, 128:256] += upd[1]
+                acc_r[:, :, 256:384] += upd[2]
+                acc_r[:, :, 384:512] += upd[3]
+                return 0
             for rr in range(rpb):
                 ring = rb * rpb + rr
                 rows = polar_scr[:, rr * L:(rr + 1) * L]
@@ -221,15 +261,28 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
                     # broadcast; use plain 2D row broadcasting
                     r_re = r[0, :, :128]                 # (1, 128)
                     r_im = r[0, :, 128:]
-                    a = s_re * r_re
-                    b = s_im * r_im
-                    ct = s_re * r_im
-                    dt = s_im * r_re
-                    acc_o[0, :, :128] += a + b
-                    acc_o[0, :, 128:] += ct - dt
-                    if do_mirror:
-                        acc_m[0, :, :128] += a - b
-                        acc_m[0, :, 128:] += -(ct + dt)
+                    if raw4:
+                        acc_r[0, :, 0:128] += s_re * r_re
+                        acc_r[0, :, 128:256] += s_im * r_im
+                        acc_r[0, :, 256:384] += s_re * r_im
+                        acc_r[0, :, 384:512] += s_im * r_re
+                    else:
+                        a = s_re * r_re
+                        b = s_im * r_im
+                        ct = s_re * r_im
+                        dt = s_im * r_re
+                        acc_o[0, :, :128] += a + b
+                        acc_o[0, :, 128:] += ct - dt
+                        if do_mirror:
+                            acc_m[0, :, :128] += a - b
+                            acc_m[0, :, 128:] += -(ct + dt)
+                elif raw4:
+                    r_re = r[0, :, :128].reshape(n_ref, 1, 128)
+                    r_im = r[0, :, 128:].reshape(n_ref, 1, 128)
+                    acc_r[:, :, 0:128] += s_re[None] * r_re
+                    acc_r[:, :, 128:256] += s_im[None] * r_im
+                    acc_r[:, :, 256:384] += s_re[None] * r_im
+                    acc_r[:, :, 384:512] += s_im[None] * r_re
                 else:
                     r_re = r[0, :, :128].reshape(n_ref, 1, 128)
                     r_im = r[0, :, 128:].reshape(n_ref, 1, 128)
@@ -246,7 +299,22 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
 
         jax.lax.fori_loop(0, sz, body, 0)
 
-    channels = ((0, acc_o), (1, acc_m)) if do_mirror else ((0, acc_o),)
+    if raw4:
+        channels = None      # o/m packed rows derived from acc_r per k
+    else:
+        channels = ((0, acc_o), (1, acc_m)) if do_mirror else ((0, acc_o),)
+
+    def packed_rows(m, k):
+        """(n_rows, 256) [re|im] accumulator block for channel m, ref k."""
+        if not raw4:
+            return channels[m][1][k]
+        a_ = acc_r[k, :, 0:128]
+        b_ = acc_r[k, :, 128:256]
+        c_ = acc_r[k, :, 256:384]
+        d_ = acc_r[k, :, 384:512]
+        if m == 0:
+            return jnp.concatenate([a_ + b_, c_ - d_], axis=-1)
+        return jnp.concatenate([a_ - b_, -(c_ + d_)], axis=-1)
 
     if stage != "full":
         # ablation harness: minimal finalize so every variant produces
@@ -256,9 +324,10 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
                            preferred_element_type=jnp.float32)
             lane_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
             alt = jnp.where(lane_l % 2 == 0, 1.0 / L, -1.0 / L)
-            for m, acc in channels:
+            for m in range(n_mirr):
                 for k in range(n_ref):
-                    rows = jnp.dot(acc[k].astype(jnp.bfloat16), irf_ref[:],
+                    rows = jnp.dot(packed_rows(m, k).astype(jnp.bfloat16),
+                                   irf_ref[:],
                                    preferred_element_type=jnp.float32)
                     rows_scr[(m * n_ref + k) * n_rows:
                              (m * n_ref + k + 1) * n_rows, :] = \
@@ -273,9 +342,9 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
                    preferred_element_type=jnp.float32)    # (n_rows, 128)
     lane_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
     alt = jnp.where(lane_l % 2 == 0, 1.0 / L, -1.0 / L)
-    for m, acc in channels:
+    for m in range(n_mirr):
         for k in range(n_ref):
-            rows = jnp.dot(acc[k].astype(jnp.bfloat16), irf_ref[:],
+            rows = jnp.dot(packed_rows(m, k).astype(jnp.bfloat16), irf_ref[:],
                            preferred_element_type=jnp.float32)
             rows = rows + c_ny[:, k:k + 1] * alt
             rows_scr[(m * n_ref + k) * n_rows:
@@ -316,7 +385,8 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
 @lru_cache(maxsize=None)
 def _build_banded2(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
                    n_rings: int, classes: tuple, interpret: bool,
-                   do_mirror: bool = True, stage: str = "full"):
+                   do_mirror: bool = True, stage: str = "full",
+                   raw4: bool = False):
     q_b = rpb * L
     n_rows = n_dx * n_dy * NT
     n_mirr = 2 if do_mirror else 1
@@ -325,7 +395,7 @@ def _build_banded2(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
 
     kern = partial(_kernel_banded2, n_dx=n_dx, n_dy=n_dy, n_ref=n_ref,
                    rpb=rpb, q_b=q_b, classes=tuple(classes),
-                   do_mirror=do_mirror, stage=stage)
+                   do_mirror=do_mirror, stage=stage, raw4=raw4)
 
     def call(img, wxt_rb, wyts, dft, refp, rny, oh, irf, prio):
         t = img.shape[0] // NT
@@ -339,10 +409,14 @@ def _build_banded2(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
         scratch = [
             pltpu.VMEM((n_rows, q_b), jnp.float32),
             pltpu.VMEM((n_rows, 128), jnp.float32),
-            pltpu.VMEM((n_ref, n_rows, 256), jnp.float32),
         ]
-        if do_mirror:
+        if raw4:
+            # one 512-lane raw-product accumulator (same bytes as o+m)
+            scratch.append(pltpu.VMEM((n_ref, n_rows, 512), jnp.float32))
+        else:
             scratch.append(pltpu.VMEM((n_ref, n_rows, 256), jnp.float32))
+            if do_mirror:
+                scratch.append(pltpu.VMEM((n_ref, n_rows, 256), jnp.float32))
         scratch.append(pltpu.VMEM((n_mirr * n_ref * n_rows, L), jnp.float32))
         return pl.pallas_call(
             kern,
@@ -454,12 +528,32 @@ class FusedTables:
         return prio
 
 
+def max_chunk_k(cfg: AlignConfig) -> int:
+    """Largest reference count one kernel invocation can hold in VMEM.
+
+    K-scaled scratch per mirror channel: one accumulator (K, n_rows,
+    256) f32 plus the angle-row buffer (K * n_rows, 256) f32 — i.e.
+    2*K*n_rows*1KB per channel.  ~30 MB of sampling tables +
+    image/polar buffers ride on top; keep the total under the ~110 MB
+    VMEM budget (v5e).  K=32 at S=49 mirrored (51 MB) compiles and
+    runs; larger K runs as ref-axis chunks merged by the exact priority
+    order (the reference's per-ref ccf table slots,
+    cuda/gpu_aln_noref.cu:1009-1143, have no such ceiling because HBM
+    holds the whole table there)."""
+    n_rows = len(cfg.shift_x_vals) * len(cfg.shift_y_vals) * NT
+    n_mirr = 2 if cfg.mirror else 1
+    k = (52 * 1024 * 1024) // (2 * n_mirr * n_rows * 256 * 4)
+    # rny/c_ny sidecar tables hold one reference per lane (<=128)
+    return min(int(k), 128)
+
+
 def fused_supported(cfg: AlignConfig, n_classes: int) -> bool:
     """Geometry gate: the kernels are specialized to ring_len 256, full
-    rings, a 128-lane image width (boxes >128 px fall back to the matmul
-    path), and a ccf accumulator that fits VMEM.  (The banded kernel
-    clamps its y-band class count to the ring-block count, so few-ring
-    configs are fine.)"""
+    rings, and a 128-lane image width (boxes >128 px fall back to the
+    matmul path).  Any K is admitted — references beyond ``max_chunk_k``
+    run as VMEM-sized chunks merged in priority order.  (The banded
+    kernel clamps its y-band class count to the ring-block count, so
+    few-ring configs are fine.)"""
     if cfg.ring_len != L:
         return False
     if cfg.mode != "F":
@@ -468,26 +562,14 @@ def fused_supported(cfg: AlignConfig, n_classes: int) -> bool:
         return False
     if cfg.img_dim > 128:
         return False
-    if n_classes > 128:
-        # Nyquist sidecar tables (rny 128x128, c_ny lane per ref) hold
-        # one reference per lane
-        return False
-    n_rows = len(cfg.shift_x_vals) * len(cfg.shift_y_vals) * NT
-    # K-scaled scratch per mirror channel: one accumulator (K, n_rows,
-    # 256) f32 plus the angle-row buffer (K * n_rows, 256) f32 — i.e.
-    # 2*K*n_rows*1KB per channel.  ~30 MB of sampling tables +
-    # image/polar buffers ride on top; keep the total under the ~110 MB
-    # VMEM budget (v5e).  K=32 at S=49 mirrored (51 MB) compiles and
-    # runs; K=64 does not (use fused_search_chunked).
-    n_mirr = 2 if cfg.mirror else 1
-    kscr_bytes = 2 * n_mirr * n_classes * n_rows * 256 * 4
-    return kscr_bytes <= 52 * 1024 * 1024
+    return max_chunk_k(cfg) >= 1
 
 
 def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
                  tables: FusedTables | None = None,
                  interpret: bool = False,
-                 _stage: str = "full") -> SearchResult:
+                 _stage: str = "full", raw4: bool | None = None,
+                 _k_chunk: int | None = None) -> SearchResult:
     """Drop-in fused-kernel replacement for ``rotational_shift_search_mm``.
 
     Args:
@@ -497,17 +579,69 @@ def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
         (``prepare_ref_spectra``).
       _stage: stage-ablation hook for tools/fused_ablate.py only; the
         non-"full" outputs are timing dummies.
+      _k_chunk: test hook forcing a smaller ref-chunk size than the
+        VMEM-derived ``max_chunk_k``.
+
+    References beyond ``max_chunk_k(cfg)`` run as multiple kernel
+    invocations over ref-axis chunks whose running best is merged in
+    the exact table priority order — the large-K path (VERDICT r2 #2;
+    reference analog: per-ref ccf slots, cuda/gpu_aln_noref.cu:1009-1143).
     """
     if tables is None:
         tables = FusedTables(cfg)
     n, h, w = images.shape
     k = ref_fw.shape[0]
+    if raw4 is None:
+        # default: the raw-product accumulator wins on hardware for the
+        # mirrored search (174.6 vs 180.2 ms per 8192x(K=8,S=49), r3)
+        raw4 = cfg.mirror
 
     img_t = translate_bilinear_mm(images, params.shift_x, params.shift_y)
     n_pad = _pad_up(n, NT)
     img_p = jnp.zeros((n_pad, tables.hp, 128), jnp.float32)
     img_p = img_p.at[:n, :h, :w].set(img_t)
 
+    kc = max_chunk_k(cfg) if _k_chunk is None else _k_chunk
+    if kc <= 0:
+        raise ValueError("geometry exceeds the fused kernel VMEM budget")
+    result = None
+    for k0 in range(0, k, kc):
+        kk = min(kc, k - k0)
+        chunk = _fused_search_one(img_p, ref_fw[k0:k0 + kk], cfg, tables,
+                                  interpret, _stage, raw4, n)
+        result = _merge_chunk(result, chunk, k0, k, tables) \
+            if result is not None else chunk
+    return result
+
+
+def _merge_chunk(a: SearchResult, b: SearchResult, k_off: int, k_total: int,
+                 tables: FusedTables) -> SearchResult:
+    """Fold ref-chunk result ``b`` (refs [k_off, ...)) into running best
+    ``a`` by the exact table priority (mirror, shift, ref, angle) —
+    value first, smaller priority index on exact ties (the in-kernel
+    argmax applies the same rule within a chunk)."""
+    s = tables.n_dx * tables.n_dy
+    b = b._replace(best_ref=b.best_ref + k_off)
+    e_a = (a.best_mirror * s + a.best_sidx) * k_total + a.best_ref
+    e_b = (b.best_mirror * s + b.best_sidx) * k_total + b.best_ref
+    better = (b.best_val > a.best_val) | ((b.best_val == a.best_val)
+                                          & (e_b < e_a))
+    sel = lambda x, y: jnp.where(better, x, y)
+    return SearchResult(
+        best_val=sel(b.best_val, a.best_val),
+        best_row=jnp.where(better[:, None], b.best_row, a.best_row),
+        best_aidx=sel(b.best_aidx, a.best_aidx),
+        best_sidx=sel(b.best_sidx, a.best_sidx),
+        best_ref=sel(b.best_ref, a.best_ref),
+        best_mirror=sel(b.best_mirror, a.best_mirror),
+    )
+
+
+def _fused_search_one(img_p, ref_fw, cfg, tables, interpret, stage, raw4,
+                      n: int) -> SearchResult:
+    """One kernel invocation over a (VMEM-sized) slice of the refs."""
+    k = ref_fw.shape[0]
+    n_pad = img_p.shape[0]
     re = jnp.real(ref_fw)   # (K, R, F)
     im = jnp.imag(ref_fw)
 
@@ -520,7 +654,8 @@ def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
     rny = rny.at[:cfg.ring_num, :k].set(jnp.swapaxes(re[:, :, 128], 0, 1))
     call = _build_banded2(tables.n_dx, tables.n_dy, k, tables.hp,
                           tables.rpb, tables.n_rings, tables.classes,
-                          interpret, do_mirror=cfg.mirror, stage=_stage)
+                          interpret, do_mirror=cfg.mirror, stage=stage,
+                          raw4=raw4 and cfg.mirror)
     out = call(img_p, jnp.asarray(tables.wxt_rb),
                tuple(jnp.asarray(w) for w in tables.wyts),
                jnp.asarray(tables.dft_t), refp, rny,

@@ -184,3 +184,69 @@ def test_mref_driver_ctf_changes_results(rng, tmp_path):
 
     with pytest.raises(ValueError, match="ctf_params"):
         mref_ali2d_tpu(data, base.copy(), CTF=True, **kw)
+
+def test_per_particle_phase_shift_broadcasts():
+    """Volta-style varying phase shifts per particle (ADVICE r2): the
+    CTF model must differ per particle when the phase column varies."""
+    from cryo_ralib_tpu.ops.ctf_ops import CtfContext
+
+    nx = 16
+    ctx = CtfContext(nx, dict(dfu=np.full(3, 15000.0),
+                              phase_shift=np.array([0.0, 45.0, 90.0]),
+                              apix=1.2))
+    assert ctx.df.shape == (3, 4)
+    chunks = list(ctx._chunks())
+    ctf = np.asarray(ctx._ctf_chunk(chunks[0][2]))
+    assert not np.allclose(ctf[0], ctf[1])
+    # scalar phase reproduces the constant-column result
+    ctx_c = CtfContext(nx, dict(dfu=np.full(3, 15000.0), phase_shift=45.0,
+                                apix=1.2))
+    ctf_c = np.asarray(ctx_c._ctf_chunk(list(ctx_c._chunks())[0][2]))
+    np.testing.assert_allclose(ctf_c[1], ctf[1], atol=1e-6)
+
+
+def test_load_ctf_params_requires_defocus(tmp_path):
+    """A STAR file without _rlnDefocusU must error, not run an all-zero
+    CTF model (ADVICE r2)."""
+    import argparse
+
+    from cryo_ralib_tpu.cli.common import load_ctf_params
+
+    star = tmp_path / "noctf.star"
+    star.write_text("""
+data_
+loop_
+_rlnImageName #1
+_rlnDetectorPixelSize #2
+1@a.mrcs 1.0
+2@a.mrcs 1.0
+""")
+    args = argparse.Namespace(CTF=True, ctf_file=str(star), apix=None,
+                              voltage=300.0, Cs=2.7, ac=0.1, snr=1.0)
+    with pytest.raises(SystemExit):
+        load_ctf_params(args, 2)
+
+
+def test_load_ctf_params_star_phase_column(tmp_path):
+    """Per-particle _rlnPhaseShift rows reach ctf_params intact."""
+    import argparse
+
+    from cryo_ralib_tpu.cli.common import load_ctf_params
+
+    star = tmp_path / "ps.star"
+    star.write_text("""
+data_
+loop_
+_rlnImageName #1
+_rlnDefocusU #2
+_rlnDefocusV #3
+_rlnDefocusAngle #4
+_rlnPhaseShift #5
+1@a.mrcs 12000 11000 30 0
+2@a.mrcs 13000 12500 35 45
+""")
+    args = argparse.Namespace(CTF=True, ctf_file=str(star), apix=1.1,
+                              voltage=300.0, Cs=2.7, ac=0.1, snr=1.0)
+    p = load_ctf_params(args, 2)
+    np.testing.assert_allclose(np.asarray(p["phase_shift"], float),
+                               [0.0, 45.0])

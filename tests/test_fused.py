@@ -20,11 +20,15 @@ def _cfg(nx=64, rings=20, xr=2.0):
 
 
 def test_fused_supported_gates():
+    from cryo_ralib_tpu.ops.fused_search import max_chunk_k
+
     assert fused_supported(_cfg(), 3)
     assert fused_supported(_cfg(90, 36, 3.0), 8)
     assert not fused_supported(
         AlignConfig(img_dim=64, ring_num=20, ring_len=128), 3)
-    assert not fused_supported(_cfg(90, 36, 3.0), 512)  # acc > VMEM
+    # large K is admitted via ref-axis chunking; one chunk stays VMEM-sized
+    assert fused_supported(_cfg(90, 36, 3.0), 512)
+    assert max_chunk_k(_cfg(90, 36, 3.0)) <= 34
 
 
 def test_fused_matches_matmul_random(rng):
@@ -167,14 +171,31 @@ def test_fused_nomirror_matches_matmul(rng):
 
 
 def test_fused_supported_mode_and_mirror_gates():
+    from cryo_ralib_tpu.ops.fused_search import max_chunk_k
+
     cfg_h = AlignConfig(img_dim=64, ring_num=20, ring_len=256, mode="H")
     assert not fused_supported(cfg_h, 3)
-    # nomirror halves the scratch: a K that exceeds the mirrored gate
-    # fits without the mirror channel
+    # nomirror halves the scratch: chunk capacity doubles
     big = AlignConfig(img_dim=90, ring_num=36, ring_len=256,
                       shift_step=1.0, shift_rng_x=3.0, shift_rng_y=3.0)
     big_nm = AlignConfig(img_dim=90, ring_num=36, ring_len=256,
                          shift_step=1.0, shift_rng_x=3.0, shift_rng_y=3.0,
                          mirror=False)
-    assert not fused_supported(big, 64)
-    assert fused_supported(big_nm, 64)
+    assert max_chunk_k(big) < max_chunk_k(big_nm) <= min(
+        2 * max_chunk_k(big) + 1, 128)
+
+
+def test_fused_chunked_matches_single(rng):
+    """K beyond one chunk: forced 2-ref chunks must reproduce the
+    single-invocation result exactly (priority-order merge)."""
+    n, nx, k = 8, 64, 6
+    cfg = _cfg(nx)
+    imgs = jnp.asarray(rng.standard_normal((n, nx, nx)).astype(np.float32))
+    refs = jnp.asarray(rng.standard_normal((k, nx, nx)).astype(np.float32))
+    rfw = prepare_ref_spectra(refs, cfg)
+    params = AlignParams.zeros(n)
+    one = fused_search(imgs, rfw, params, cfg, interpret=True)
+    chk = fused_search(imgs, rfw, params, cfg, interpret=True, _k_chunk=2)
+    for f in one._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(one, f)),
+                                      np.asarray(getattr(chk, f)), err_msg=f)

@@ -144,10 +144,12 @@ class TestFlagHonesty:
         validate_reffree_flags(self._args(**kw))  # no raise
 
 
-def test_bdb_input_rejected_with_guidance():
+def test_bdb_missing_database_errors_clearly():
+    # bdb: containers are READ since r3 (io/bdb.py); a missing database
+    # must fail with a pointed message rather than conversion guidance
     from cryo_ralib_tpu.cli.common import load_stack
 
-    with pytest.raises(ValueError, match="e2proc2d"):
+    with pytest.raises(FileNotFoundError, match="no such database"):
         load_stack("bdb:particles#stack")
 
 
