@@ -43,10 +43,16 @@ NX = 90
 K = 8
 N_DEV = 8192
 N_K32 = 2048
+N_BIG = 2048
 N_CPU = 128
 CPU_REPS = 5
 CFG = AlignConfig(img_dim=NX, ring_num=36, ring_len=256,
                   shift_step=1.0, shift_rng_x=3.0, shift_rng_y=3.0)
+# realistic-box row: 160 px / ou=48 runs fused through the 128-wide
+# central x-window (the reference handles arbitrary img_dim natively,
+# cuda/gpu_aln_common.h:48-54)
+CFG160 = AlignConfig(img_dim=160, ring_num=48, ring_len=256,
+                     shift_step=1.0, shift_rng_x=2.0, shift_rng_y=2.0)
 
 def _peak_flops(dev) -> float | None:
     """Peak bf16 matmul throughput for the deterministic MFU denominator
@@ -61,11 +67,11 @@ def _warn(msg: str):
     print(f"bench.py: WARNING: {msg}", file=sys.stderr, flush=True)
 
 
-def _batch(n, seed=0, k=K):
+def _batch(n, seed=0, k=K, nx=NX):
     rng = np.random.default_rng(seed)
     return (
-        rng.standard_normal((n, NX, NX)).astype(np.float32),
-        rng.standard_normal((k, NX, NX)).astype(np.float32),
+        rng.standard_normal((n, nx, nx)).astype(np.float32),
+        rng.standard_normal((k, nx, nx)).astype(np.float32),
     )
 
 
@@ -99,8 +105,9 @@ def search_model_flops(cfg: AlignConfig, k: int) -> float:
     return fl_x + fl_y + fl_dft + fl_ccf + fl_irf + fl_ny
 
 
-def _time_step(device, n, shift_chunk, reps, sampler, k=K, update_ref=True):
-    images_np, refs_np = _batch(n, k=max(k, K))
+def _time_step(device, n, shift_chunk, reps, sampler, k=K, update_ref=True,
+               cfg=CFG):
+    images_np, refs_np = _batch(n, k=max(k, K), nx=cfg.img_dim)
     refs_np = refs_np[:k]
     images = jax.device_put(images_np, device)
     refs = jax.device_put(refs_np, device)
@@ -113,7 +120,7 @@ def _time_step(device, n, shift_chunk, reps, sampler, k=K, update_ref=True):
             np.zeros(n, np.float32), np.zeros(n, np.int32),
             np.zeros(n, np.int32)), device)
 
-    fn = jax.jit(partial(align_step, cfg=CFG, n_classes=k,
+    fn = jax.jit(partial(align_step, cfg=cfg, n_classes=k,
                          shift_chunk=shift_chunk, update_ref=update_ref,
                          sampler=sampler))
     # NB: on the tunneled TPU platform block_until_ready returns without
@@ -131,7 +138,7 @@ def _time_step(device, n, shift_chunk, reps, sampler, k=K, update_ref=True):
     return n / float(np.median(times))
 
 
-def _accel_step_row(device, n, reps, k=K, update_ref=True):
+def _accel_step_row(device, n, reps, k=K, update_ref=True, cfg=CFG):
     """Time one accelerator row, recording the sampler actually used.
 
     Tries the fused Pallas path first where the gate admits it; any
@@ -143,17 +150,17 @@ def _accel_step_row(device, n, reps, k=K, update_ref=True):
     on_accel = device.platform != "cpu"
     if not on_accel:
         return _time_step(device, n, 8, reps, "gather", k=k,
-                          update_ref=update_ref), "gather"
-    if fused_supported(CFG, k):
+                          update_ref=update_ref, cfg=cfg), "gather"
+    if fused_supported(cfg, k):
         try:
             return _time_step(device, n, 8, reps, "fused", k=k,
-                              update_ref=update_ref), "fused"
+                              update_ref=update_ref, cfg=cfg), "fused"
         except Exception as e:  # noqa: BLE001 - report, then fall back
             _warn(f"fused sampler failed for K={k} "
                   f"({type(e).__name__}: {e}); falling back to matmul — "
                   "the headline below is NOT the fused kernel")
     return _time_step(device, n, 8, reps, "matmul", k=k,
-                      update_ref=update_ref), "matmul"
+                      update_ref=update_ref, cfg=cfg), "matmul"
 
 
 def _kernel_only_ms(device, n, k=K):
@@ -229,6 +236,16 @@ def main():
         except Exception as e:  # noqa: BLE001
             _warn(f"K=32 row failed ({type(e).__name__}: {e})")
 
+    # realistic-box row: 160 px through the windowed fused path (r3)
+    big_pps = None
+    big_sampler = None
+    if on_accel:
+        try:
+            big_pps, big_sampler = _accel_step_row(dev, N_BIG, reps=3, k=4,
+                                                   cfg=CFG160)
+        except Exception as e:  # noqa: BLE001
+            _warn(f"160px row failed ({type(e).__name__}: {e})")
+
     cpu = jax.devices("cpu")[0]
     # the XLA-CPU proxy must not pick the Pallas kernels (TPU-only)
     cpu_pps = _time_step(cpu, N_CPU, 4, CPU_REPS, "gather")
@@ -263,6 +280,8 @@ def main():
             "baseline": "reference GPU published 22x-37x vs EMAN2 CPU",
             "mref_k32_pps": round(k32_pps, 2) if k32_pps else None,
             "mref_k32_sampler": k32_sampler,
+            "mref_160px_pps": round(big_pps, 2) if big_pps else None,
+            "mref_160px_sampler": big_sampler,
             "reffree_particles_per_sec": round(reffree_pps, 2),
             "reffree_sampler": reffree_sampler,
             "reffree_speedup_vs_cpu_proxy": round(reffree_pps / reffree_cpu, 2),

@@ -462,8 +462,16 @@ class FusedTables:
     def __init__(self, cfg: AlignConfig, n_bands: int = 3):
         assert cfg.ring_len == L, "fused kernels are specialized to 256"
         assert cfg.mode == "F", "fused kernels assume full rings (mode F)"
-        t = build_polar_tables(cfg)
         h = cfg.img_dim
+        if h > 128:
+            # big-box path: rings only read cx +/- (ring_num + dx + 2)
+            # columns, so sample from a 128-wide central slab (window
+            # center at lane 64); fused_supported guarantees the fit
+            self.x0 = h // 2 - 64
+            t = build_polar_tables(cfg, x_window=(self.x0, 128))
+        else:
+            self.x0 = 0
+            t = build_polar_tables(cfg)
         self.hp = _pad_up(h, 8)
         self.rpb = 2 if cfg.ring_num % 2 == 0 else 1
         self.n_rings = cfg.ring_num
@@ -474,10 +482,11 @@ class FusedTables:
         nrb = cfg.ring_num // self.rpb
         self.classes = tuple(_class_plan(cfg, self.hp, self.rpb,
                                          n_classes=n_bands))
+        xw = min(h, 128)       # stored image/table width (x window)
         wxt_rb = np.zeros((nrb, t.n_dx, 128, q_b), np.float32)
         for rb in range(nrb):
             sl = slice(rb * q_b, (rb + 1) * q_b)
-            wxt_rb[rb, :, :h, :] = np.swapaxes(t.wx[:, sl, :], 1, 2)
+            wxt_rb[rb, :, :xw, :] = np.swapaxes(t.wx[:, sl, :xw], 1, 2)
         self.wxt_rb = wxt_rb.astype(jnp.bfloat16)
         self.wyts = []
         for (start, sz, y0, bh, a_off, a_wh, b_off, b_wh) in self.classes:
@@ -561,7 +570,12 @@ def fused_supported(cfg: AlignConfig, n_classes: int) -> bool:
         # (all lanes then have sin >= 0); H-mode runs the matmul path
         return False
     if cfg.img_dim > 128:
-        return False
+        # big boxes run through the 128-wide central x-window; the ring
+        # extent (radius + shift + bilinear support) must fit beside the
+        # window center at lane 64
+        if cfg.ring_num + int(np.ceil(np.max(np.abs(
+                cfg.shift_x_vals)))) + 2 > 62:
+            return False
     return max_chunk_k(cfg) >= 1
 
 
@@ -597,9 +611,12 @@ def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
         raw4 = cfg.mirror
 
     img_t = translate_bilinear_mm(images, params.shift_x, params.shift_y)
+    if tables.x0:
+        # big-box central slab (see FusedTables / build_polar_tables)
+        img_t = img_t[:, :, tables.x0:tables.x0 + 128]
     n_pad = _pad_up(n, NT)
     img_p = jnp.zeros((n_pad, tables.hp, 128), jnp.float32)
-    img_p = img_p.at[:n, :h, :w].set(img_t)
+    img_p = img_p.at[:n, :h, :min(w, 128)].set(img_t)
 
     kc = max_chunk_k(cfg) if _k_chunk is None else _k_chunk
     if kc <= 0:

@@ -81,9 +81,19 @@ class PolarTables:
         return self.wx.shape[0]
 
 
-def build_polar_tables(cfg) -> PolarTables:
+def build_polar_tables(cfg, x_window: tuple[int, int] | None = None
+                       ) -> PolarTables:
     """Build PolarTables from an AlignConfig (numpy, host-side, cached by
-    caller)."""
+    caller).
+
+    ``x_window=(x0, width)`` builds the x tents relative to a column
+    window [x0, x0+width) of the image — the big-box fused path samples
+    rings from a 128-wide central slab (rings only ever read
+    ``cx +/- (ring_num + dx + 2)`` columns), so boxes wider than the
+    VPU lane count still run the fused kernel.  The caller guarantees
+    every sample stays in the window interior, where windowed tents
+    equal the full-width ones exactly (no clamp difference).
+    """
     coords = cfg.polar_coords  # (R, L, 2), [...,0]=x offset, [...,1]=y
     h = w = cfg.img_dim
     cx = w // 2
@@ -91,7 +101,12 @@ def build_polar_tables(cfg) -> PolarTables:
     px = coords[..., 0].reshape(-1)
     py = coords[..., 1].reshape(-1)
     wy = np.stack([tent_rows(cy + py + dy, h) for dy in cfg.shift_y_vals])
-    wx = np.stack([tent_rows(cx + px + dx, w) for dx in cfg.shift_x_vals])
+    if x_window is not None:
+        x0, width = x_window
+        wx = np.stack([tent_rows(cx - x0 + px + dx, width)
+                       for dx in cfg.shift_x_vals])
+    else:
+        wx = np.stack([tent_rows(cx + px + dx, w) for dx in cfg.shift_x_vals])
     return PolarTables(wy=wy, wx=wx, ring_num=cfg.ring_num,
                        ring_len=cfg.ring_len)
 

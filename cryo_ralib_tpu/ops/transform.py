@@ -96,28 +96,14 @@ def _translate_cols(img, t, fast: bool = False):
                         -1, -2)
 
 
-def transform_batch_mm(images, params: AlignParams, pad_to: int | None = None,
-                       fast: bool = False):
-    """Gather-free ``transform_batch``: FFT-shear rotation on the MXU.
+def _warp_spectrum(images, params: AlignParams, pad_to: int | None = None,
+                   fast: bool = False):
+    """Shear passes 1-3 of the FFT warp plus the forward half of pass 4.
 
-    Same warp as ``transform_batch`` (mirror -> rotate by +angle about
-    the integer center -> shift), decomposed TPU-natively:
-
-    1. quadrant: angle = 90k + phi, phi in [-45, 45); the 90k part is an
-       exact grid permutation (transpose/edge-flip, matching the
-       reference's ``nx - x`` clamp convention), the shift vector is
-       rotated by -90k;
-    2. residual phi: three centered shears
-       R(phi) = Sx(-tan(phi/2)) Sy(sin phi) Sx(-tan(phi/2)), each a
-       per-row/column sub-pixel translation done as a DFT-matmul phase
-       ramp; the (sx, sy) shift rides the first two passes for free;
-    3. images are zero-padded to ``pad_to`` (default: next multiple of
-       128, MXU-aligned) so the periodic Fourier translations never wrap
-       content.
-
-    Interpolation is sinc (bandlimited) instead of the reference's
-    bilinear texture reads — a different, sharper kernel; averages match
-    to the interpolation difference (golden tests pin this down).
+    Returns ``(g, off, pad_to)`` where ``irfft_mm(g, n=pad_to, axis=-1)``
+    is the pre-crop, pre-mirror transformed stack — the factorization
+    that lets ``class_sum_transform_mm`` hoist the (shared, linear) final
+    inverse DFT and mirror flip past the per-class sum.
     """
     n, h, w = images.shape
     assert h == w, "transform_batch_mm assumes square images"
@@ -164,9 +150,41 @@ def transform_batch_mm(images, params: AlignParams, pad_to: int | None = None,
     out = _translate_rows(out, a[:, None] * rows + sxr[:, None], fast)
     # pass 3: y-translate by b*(x-cx)
     out = _translate_cols(out, b[:, None] * cols, fast)
-    # pass 4: x-translate by a*(y-cy)
-    out = _translate_rows(out, a[:, None] * rows, fast)
+    # pass 4 forward: rfft + phase ramp for the x-translate a*(y-cy)
+    f = rfft_mm(out, axis=-1, fast=fast)                 # (N, P, F)
+    kf = jnp.arange(pad_to // 2 + 1, dtype=jnp.float32)
+    t = a[:, None] * rows                                # (N, P)
+    phase = 2.0 * jnp.pi * kf[None, None, :] * t[:, :, None] / pad_to
+    g = f * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    return g, off, pad_to
 
+
+def transform_batch_mm(images, params: AlignParams, pad_to: int | None = None,
+                       fast: bool = False):
+    """Gather-free ``transform_batch``: FFT-shear rotation on the MXU.
+
+    Same warp as ``transform_batch`` (mirror -> rotate by +angle about
+    the integer center -> shift), decomposed TPU-natively:
+
+    1. quadrant: angle = 90k + phi, phi in [-45, 45); the 90k part is an
+       exact grid permutation (transpose/edge-flip, matching the
+       reference's ``nx - x`` clamp convention), the shift vector is
+       rotated by -90k;
+    2. residual phi: three centered shears
+       R(phi) = Sx(-tan(phi/2)) Sy(sin phi) Sx(-tan(phi/2)), each a
+       per-row/column sub-pixel translation done as a DFT-matmul phase
+       ramp; the (sx, sy) shift rides the first two passes for free;
+    3. images are zero-padded to ``pad_to`` (default: next multiple of
+       128, MXU-aligned) so the periodic Fourier translations never wrap
+       content.
+
+    Interpolation is sinc (bandlimited) instead of the reference's
+    bilinear texture reads — a different, sharper kernel; averages match
+    to the interpolation difference (golden tests pin this down).
+    """
+    n, h, w = images.shape
+    g, off, pad_to = _warp_spectrum(images, params, pad_to, fast)
+    out = irfft_mm(g, n=pad_to, axis=-1, fast=fast)
     out = out[:, off:off + h, off:off + w]
 
     # mirror: out_m[y, x] = out[y, clamp(w - x)] (applied to the final

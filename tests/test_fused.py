@@ -199,3 +199,40 @@ def test_fused_chunked_matches_single(rng):
     for f in one._fields:
         np.testing.assert_array_equal(np.asarray(getattr(one, f)),
                                       np.asarray(getattr(chk, f)), err_msg=f)
+
+
+def test_fused_big_box_matches_matmul(rng):
+    """Boxes >128 px run fused through the 128-wide central x-window
+    (r3; reference handles arbitrary img_dim natively,
+    cuda/gpu_aln_common.h:48-54)."""
+    n, nx, rings, k = 8, 160, 48, 3
+    cfg = AlignConfig(img_dim=nx, ring_num=rings, ring_len=256,
+                      shift_step=1.0, shift_rng_x=2.0, shift_rng_y=2.0)
+    assert fused_supported(cfg, k)
+    imgs = jnp.asarray(rng.standard_normal((n, nx, nx)).astype(np.float32))
+    refs = jnp.asarray(rng.standard_normal((k, nx, nx)).astype(np.float32))
+    rfw = prepare_ref_spectra(refs, cfg)
+    params = AlignParams(
+        jnp.zeros(n), jnp.asarray(rng.integers(-2, 3, n).astype(np.float32)),
+        jnp.asarray(rng.integers(-2, 3, n).astype(np.float32)),
+        jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32))
+    r_mm = rotational_shift_search_mm(imgs, rfw, params, cfg, fast=True)
+    r_fu = fused_search(imgs, rfw, params, cfg, interpret=True)
+    va = np.asarray(r_mm.best_val)
+    np.testing.assert_allclose(np.asarray(r_fu.best_val), va,
+                               atol=5e-3 * np.abs(va).max())
+    same = ((np.asarray(r_mm.best_aidx) == np.asarray(r_fu.best_aidx))
+            & (np.asarray(r_mm.best_sidx) == np.asarray(r_fu.best_sidx))
+            & (np.asarray(r_mm.best_ref) == np.asarray(r_fu.best_ref)))
+    gap = np.abs(np.asarray(r_fu.best_val) - va) / np.abs(va).max()
+    assert np.all(same | (gap <= 5e-3)), (same, gap)
+
+
+def test_fused_big_box_gate():
+    # ring extent beyond the 128-lane window falls back to matmul
+    big = AlignConfig(img_dim=200, ring_num=70, ring_len=256,
+                      shift_step=1.0, shift_rng_x=3.0, shift_rng_y=3.0)
+    assert not fused_supported(big, 3)
+    ok = AlignConfig(img_dim=360, ring_num=56, ring_len=256,
+                     shift_step=1.0, shift_rng_x=3.0, shift_rng_y=3.0)
+    assert fused_supported(ok, 3)

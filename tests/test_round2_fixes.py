@@ -66,10 +66,13 @@ class TestFusedSupportedGates:
     def test_standard_config_supported(self):
         assert fused_supported(self._cfg(), 8)
 
-    def test_large_box_falls_back(self):
-        # ADVICE r1 (medium): kernels hard-code a 128-lane image width;
-        # boxes >128 px must route to the matmul sampler
-        assert not fused_supported(self._cfg(img_dim=160), 4)
+    def test_large_box_windowed_or_falls_back(self):
+        # boxes >128 px run fused through the 128-wide central x-window
+        # when the ring extent fits (r3); beyond that, matmul fallback
+        assert fused_supported(self._cfg(img_dim=160), 4)
+        assert not fused_supported(
+            self._cfg(img_dim=160, ring_num=70, shift_rng_x=3.0,
+                      shift_rng_y=3.0), 4)
 
     def test_boundary_box_supported(self):
         assert fused_supported(self._cfg(img_dim=128), 4)

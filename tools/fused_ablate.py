@@ -43,14 +43,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import importlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from cryo_ralib_tpu.config import AlignConfig
-from cryo_ralib_tpu.ops import fused_search as fs
 from cryo_ralib_tpu.ops.search import prepare_ref_spectra
 from cryo_ralib_tpu.params import AlignParams
+
+# the package re-exports fused_search (the function) from ops/__init__;
+# import the module itself explicitly
+fs = importlib.import_module("cryo_ralib_tpu.ops.fused_search")
 
 NX, K, N = 90, 8, 8192
 cfg = AlignConfig(img_dim=NX, ring_num=36, ring_len=256, shift_step=1.0,

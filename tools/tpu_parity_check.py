@@ -57,6 +57,9 @@ def main() -> int:
         ("odd 75px K=2 ts=0.5", 24,
          AlignConfig(img_dim=75, ring_num=20, ring_len=256, shift_step=0.5,
                      shift_rng_x=1.0, shift_rng_y=1.0), 2, "random"),
+        ("big box 160px K=4 ou=48", 24,
+         AlignConfig(img_dim=160, ring_num=48, ring_len=256, shift_step=1.0,
+                     shift_rng_x=2.0, shift_rng_y=2.0), 4, "random"),
     ]
     for name, n, cfg, k, kind in cases:
         if not fused_supported(cfg, k):
