@@ -26,11 +26,26 @@ no_ccf 87.5, no_yred 132.1, sample_only 83.0 — the DFT+ccf block
 top r3 target, the y-tent contraction (~50 ms) second; the x-tent
 matmul is near its MXU floor (~43 ms, fully overlapped).
 
+End-of-r3 map (same workload, raw4 kernel): full 178.2 ms,
+no_ccf 92.6, no_yred 130.5, sample_only 83.2 — raw4 shaved the ccf
+block to ~86 ms; both remaining stages sit near their VPU floors.
+
 Graveyard (measured slower or flat; kept out of the kernel):
+software-pipelined double-buffered polar scratch (ccf lagging sampling
+by one block to overlap MXU/VPU: 183 vs 173 ms — Mosaic does not
+overlap the stages and the dynamic guards cost ~10 ms), sliding-dy
+shared y-tent tables (one base table + per-dy row-shifted u-slices:
+199 vs 174 ms — non-8-aligned middle-dim value slices lower to
+cross-sublane shuffles, eating 2x the saved multiplies),
 slab-streamed y-reduction, row-major polar + one-DFT-per-block,
 register-combined ring accumulation (multi-MB "register" temporaries
 spill), ring-pair-combined ccf RMW, NT=16/32 tiles, 6/9/18 y-band
-classes, a 4->3 shear-pass merge in transform_batch_mm, and a fused
+classes, a 4->3 shear-pass merge in transform_batch_mm (re-derived and re-tried
+in r3 with the fused class-sum pipeline: 56.5 vs 63.6 ms transform+sum
+— but folding the y-shift into the shear argument pushes content
+|a|*|syr| px past the 128-pad margin and wraps into the crop at
+|phi| -> 45 deg, maxd 2.7 at angle 46; correct only with pad 256,
+which costs more than the merge saves), and a fused
 Pallas transform kernel (all four shear passes in VMEM): both a
 per-particle-dot variant (80 ms) and a tile-batched block-diagonal
 variant (94 ms) lost to the XLA 4-pass pipeline (45 ms) on v5e — the
