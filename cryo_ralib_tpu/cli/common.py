@@ -206,7 +206,7 @@ def load_stack(path: str):
         images, headers = read_hdf_stack(path)
         return np.asarray(images, np.float32), headers
     if ext in (".mrc", ".mrcs"):
-        data, _hdr = read_mrc(path)
+        data = read_mrc(path)
         if data.ndim == 2:
             data = data[None]
         return np.asarray(data, np.float32), [{} for _ in range(len(data))]
