@@ -41,7 +41,15 @@ from cryo_ralib_tpu.params import AlignParams
 
 NX = 90
 K = 8
-N_DEV = 8192
+# production-like batch: cryo-EM stacks are 1e5-1e6 particles and the
+# per-dispatch fixed cost (~44 ms on this tunneled transport, dominated
+# by the ~32 ms RTT) amortizes with batch size — measured 38.5k pps at
+# 8192, 42.9k at 16384, 44.6k at 32768 on one v5e (r3).  16384 balances
+# that against compile size (no persistent XLA cache on this machine:
+# every process pays the full compile, and 32k-batch programs wedge the
+# tunneled worker when compiled repeatedly)
+N_DEV = 16384
+N_SMALL = 8192
 N_K32 = 2048
 N_BIG = 2048
 N_CPU = 128
@@ -254,13 +262,13 @@ def main():
     # BASELINE row 2: reference-free (single-ref) alignment, K=1,
     # update_ref=False — the ``pre_align_run_m`` workload
     # (README.md:31-38, published 2.4x-9.4x GPU vs CPU ali2d_base).
-    reffree_pps, reffree_sampler = _accel_step_row(dev, N_DEV, reps=3, k=1,
-                                                   update_ref=False)
+    reffree_pps, reffree_sampler = _accel_step_row(dev, N_SMALL, reps=3,
+                                                   k=1, update_ref=False)
     reffree_cpu = _time_step(cpu, 4 * N_CPU, 4, CPU_REPS, "gather", k=1,
                              update_ref=False)
 
     # BASELINE row 3: batch rot_shift2D (notebook 02, ~5x GPU vs CPU).
-    rs_pps = _time_rot_shift(dev, N_DEV, reps=3,
+    rs_pps = _time_rot_shift(dev, N_SMALL, reps=3,
                              engine="shear" if on_accel else "quadri")
     rs_cpu = _time_rot_shift(cpu, 1024, reps=CPU_REPS, engine="quadri")
 
@@ -270,7 +278,8 @@ def main():
         "unit": "particles/s",
         "vs_baseline": round(speedup / 22.0, 3),
         "detail": {
-            "config": "90px K=8 xr=yr=3 ts=1 ou=36 ring_len=256 mirror",
+            "config": "90px K=8 xr=yr=3 ts=1 ou=36 ring_len=256 mirror "
+                      f"batch={N_DEV}",
             "device": str(dev.platform),
             "sampler": sampler_used,
             "kernel_ms": round(kernel_ms, 1) if kernel_ms else None,
