@@ -228,3 +228,33 @@ def test_reffree_driver_shc_and_modes(tmp_path, stack):
                            xr=1.0, ts=1.0, maxit=2, mode="H",
                            sampler="gather")
     assert res_h.iterations >= 1
+
+
+def test_engine_shc_streaming_matches_resident(stack):
+    """SHC previousmax bookkeeping must survive the host-batched
+    streaming path (fixed-size padded batches)."""
+    from cryo_ralib_tpu.models.engine import AlignmentEngine
+
+    cfg = _cfg()
+    data = np.concatenate([stack, stack[::-1] * 0.8], axis=0)  # N=12
+    ref = data.mean(0)[None]
+
+    res = AlignmentEngine(data, cfg, n_classes=1, update_ref=False,
+                          sampler="gather", random_method="SHC")
+    assert res.resident
+    stm = AlignmentEngine(data, cfg, n_classes=1, update_ref=False,
+                          sampler="gather", random_method="SHC",
+                          batch_size=5)
+    assert not stm.resident
+
+    for _ in range(2):
+        o_r = res.iterate(ref)
+        o_s = stm.iterate(ref)
+        assert o_r.nope == o_s.nope
+        np.testing.assert_allclose(o_r.class_sums, o_s.class_sums,
+                                   atol=1e-3)
+    np.testing.assert_allclose(res.previousmax_np(), stm.previousmax_np(),
+                               rtol=1e-6)
+    pr, ps = res.params_np(), stm.params_np()
+    np.testing.assert_array_equal(pr.mirror, ps.mirror)
+    np.testing.assert_allclose(pr.angle, ps.angle, atol=1e-4)
