@@ -84,8 +84,10 @@ def add_common_flags(p: argparse.ArgumentParser, reffree: bool = False):
                             "(test_reffree_gpu_align.py:307) — non-zero "
                             "values error out rather than being ignored")
         p.add_argument("--Fourvar", action="store_true",
-                       help="Fourier variance (CPU-twin-only feature; "
-                            "errors out rather than being ignored)")
+                       help="compute the 2-D Fourier variance of the "
+                            "aligned stack each iteration, divide the "
+                            "average by it and write varf.hdf (varf2d "
+                            "semantics, test_reffree_gpu_align.py:777-831)")
         p.add_argument("--mode", default="F", choices=["F", "H"],
                        help="full or half rings: 'H' searches rotations in "
                             "[0, 180) only (EMAN2 half-ring convention)")
@@ -99,18 +101,16 @@ def add_common_flags(p: argparse.ArgumentParser, reffree: bool = False):
 def validate_reffree_flags(args):
     """Fail loudly on flags that are not implemented.
 
-    ``--mode=H``, ``--nomirror`` and ``--random_method=SHC`` are real
-    capability since r3 (the reference GPU path silently ignores them;
-    its CPU twin ``ali2d_base`` honors them,
-    test_reffree_gpu_align.py:714,724,921).  Still rejected rather than
-    ignored: ``--dst`` (the GPU reference hard-codes delta=0.0, line
-    307), ``--Fourvar`` (Fourier variance) and ``--random_method=SCF``.
+    ``--mode=H``, ``--nomirror``, ``--random_method=SHC`` and
+    ``--Fourvar`` are real capability since r3 (the reference GPU path
+    silently ignores them; its CPU twin ``ali2d_base`` honors them,
+    test_reffree_gpu_align.py:714,724,777-831,921).  Still rejected
+    rather than ignored: ``--dst`` (the GPU reference hard-codes
+    delta=0.0, line 307) and ``--random_method=SCF``.
     """
     problems = []
     if args.dst != 0.0:
         problems.append("--dst (GPU reference hard-codes delta=0.0)")
-    if args.Fourvar:
-        problems.append("--Fourvar (CPU-twin-only Fourier variance)")
     if args.random_method == "SCF":
         problems.append("--random_method=SCF (self-correlation not built)")
     if problems:

@@ -54,6 +54,7 @@ def main(argv=None):
         xr=args.xr, yr=args.yr, ts=args.ts,
         center=args.center, maxit=args.maxit,
         CTF=ctf_params is not None, ctf_params=ctf_params,
+        Fourvar=args.Fourvar,
         snr=args.snr, user_func_name=args.function,
         random_method=args.random_method, nomirror=args.nomirror,
         mode=args.mode, log=log, mesh=mesh,

@@ -27,12 +27,12 @@ import jax
 import jax.numpy as jnp
 
 from ..config import AlignConfig
-from ..ops.classavg import class_sum_oe
+from ..ops.classavg import class_sum_oe, class_sum_transform_mm
 from ..ops.filters import filt_tanl_dyn
 from ..ops.search import (decode_params, prepare_ref_spectra,
                           rotational_shift_search,
                           rotational_shift_search_mm)
-from ..ops.transform import transform_batch, transform_batch_mm
+from ..ops.transform import transform_batch
 from ..params import AlignParams
 
 
@@ -45,19 +45,25 @@ def _loop(images, avg0, params: AlignParams, gidx, valid, cutoffs, falloffs,
         params, avg = state
         avg_f = filt_tanl_dyn(avg, cutoffs[i], falloffs[i])
         ref_fw = prepare_ref_spectra(avg_f[None], cfg)
-        if sampler == "matmul":
+        if sampler == "fused":
+            from ..ops.fused_search import fused_search
+
+            res = fused_search(images, ref_fw, params, cfg)
+        elif sampler == "matmul":
             res = rotational_shift_search_mm(images, ref_fw, params, cfg,
                                              fast=fast)
         else:
             res = rotational_shift_search(images, ref_fw, params, cfg,
                                           shift_chunk=shift_chunk)
         params = decode_params(res, params, cfg, update_ref=False)
-        if sampler == "matmul":
-            transformed = transform_batch_mm(images, params, fast=fast)
+        if sampler in ("matmul", "fused"):
+            sums, _ = class_sum_transform_mm(images, params, 1,
+                                             global_index=gidx, valid=valid,
+                                             fast=fast)
         else:
             transformed = transform_batch(images, params)
-        sums, _ = class_sum_oe(transformed, params.ref_id, 1,
-                               global_index=gidx, valid=valid)
+            sums, _ = class_sum_oe(transformed, params.ref_id, 1,
+                                   global_index=gidx, valid=valid)
         avg_new = (sums[0, 0] + sums[0, 1]) / n_total
         return params, avg_new
 
@@ -80,7 +86,14 @@ def make_device_loop(cfg: AlignConfig, n_iter: int, cutoffs, falloffs=None,
     Returns fn(images, avg0, params, gidx, valid) -> (params, avg).
     """
     if sampler == "auto":
-        sampler = "matmul" if jax.default_backend() == "tpu" else "gather"
+        if jax.default_backend() == "tpu" and mesh is None:
+            from ..ops.fused_search import fused_supported
+
+            sampler = "fused" if fused_supported(cfg, 1) else "matmul"
+        elif jax.default_backend() == "tpu":
+            sampler = "matmul"
+        else:
+            sampler = "gather"
     cutoffs = np.asarray(cutoffs, np.float32)
     assert cutoffs.shape == (n_iter,)
     if falloffs is None:
@@ -127,11 +140,14 @@ def _mref_loop(images, refs0, params: AlignParams, gidx, valid, cutoffs,
                                           shift_chunk=shift_chunk)
         params = decode_params(res, params, cfg, update_ref=True)
         if sampler in ("matmul", "fused"):
-            transformed = transform_batch_mm(images, params, fast=fast)
+            sums, counts = class_sum_transform_mm(
+                images, params, n_classes, global_index=gidx, valid=valid,
+                fast=fast)
         else:
             transformed = transform_batch(images, params)
-        sums, counts = class_sum_oe(transformed, params.ref_id, n_classes,
-                                    global_index=gidx, valid=valid)
+            sums, counts = class_sum_oe(transformed, params.ref_id,
+                                        n_classes, global_index=gidx,
+                                        valid=valid)
         safe = jnp.maximum(counts, 1).astype(jnp.float32)
         new_refs = (sums[:, 0] + sums[:, 1]) / safe[:, None, None]
         # vanished classes keep their previous reference (the offline

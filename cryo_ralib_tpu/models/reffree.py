@@ -48,6 +48,7 @@ class RefFreeResult:
     criteria: list = field(default_factory=list)
     pixel_errors: list = field(default_factory=list)
     mirror_consistency: list = field(default_factory=list)
+    radial_variances: list = field(default_factory=list)  # Fourvar rvar/iter
     iterations: int = 0
 
 
@@ -64,6 +65,7 @@ def ali2d_base_tpu(
     center: int = -1,
     maxit: int = 0,
     CTF: bool = False,
+    Fourvar: bool = False,
     snr: float = 1.0,
     ctf_params: dict | None = None,
     user_func_name: str = "ref_ali2d",
@@ -88,6 +90,11 @@ def ali2d_base_tpu(
     channel; ``mode="H"`` searches half rings (rotations in [0, 180));
     ``random_method="SHC"`` enables stochastic hill climbing (particles
     accept the first candidate beating their ``previousmax``).
+    ``Fourvar`` computes the 2-D Fourier variance of the aligned stack
+    each iteration, divides the average's spectrum by it and writes
+    ``varf.hdf`` — the CPU twin's ``varf2d_MPI`` behavior
+    (test_reffree_gpu_align.py:777-831), which the reference GPU path
+    never implemented.
     """
     if outdir:
         os.makedirs(outdir, exist_ok=True)
@@ -189,6 +196,23 @@ def ali2d_base_tpu(
             write_fsc(os.path.join(outdir, "resolution%03d" % total_iter), *frsc)
         else:
             frsc = fsc_mask(ave1, ave2, mask, 1.0)
+
+        # ---- Fourier variance of the aligned stack (varf2d semantics:
+        # variance computed with the params that built these sums, the
+        # average divided by it BEFORE the criterion,
+        # test_reffree_gpu_align.py:777-787)
+        if Fourvar:
+            from ..ops.fourvar import (divide_by_variance, fourier_variance,
+                                       variance_map)
+
+            with annotate("reffree::fourvar"):
+                vav, rvar = fourier_variance(data, engine.params_np(),
+                                             mask=mask_j)
+            tavg = divide_by_variance(tavg, vav)
+            result.radial_variances.append(rvar)
+            if outdir:
+                write_image(os.path.join(outdir, "varf.hdf"),
+                            variance_map(vav), total_iter - 1)
 
         # ---- stopping criterion on the unfiltered average
         # (EMAN2 "dot" cmp with negative=0 under the mask,

@@ -89,15 +89,16 @@ def test_reffree_cli_end_to_end(tmp_path, stack_files):
     params = np.loadtxt(os.path.join(outdir, "initial2Dparams.txt"))
     assert params.shape[0] == get_image_count(stack)
 
-    # unsupported reference-GPU flags are rejected loudly (--mode=H and
-    # --random_method=SHC became real capability in r3; --Fourvar has not)
+    # unsupported reference-GPU flags are rejected loudly (--mode=H,
+    # --random_method=SHC and --Fourvar became real capability in r3)
     with pytest.raises(SystemExit):
         cli_reffree.main([stack, str(tmp_path / "y"), "--ou=24",
-                          "--Fourvar"])
+                          "--dst=90"])
 
-    # H-mode runs end-to-end through the CLI now
+    # H-mode + Fourier variance run end-to-end through the CLI now
     rc = cli_reffree.main([stack, str(tmp_path / "out_h"), "--ou=24",
                            "--xr=1", "--ts=1", "--maxit=1",
-                           "--sampler=gather", "--mode=H",
+                           "--sampler=gather", "--mode=H", "--Fourvar",
                            "--function=ref_ali2d_no_filter"])
     assert rc == 0
+    assert os.path.exists(os.path.join(tmp_path / "out_h", "varf.hdf"))

@@ -45,8 +45,13 @@ def test_device_loop_aligns(rng):
     assert r > 0.95, r
 
 
-def test_device_loop_one_iter_matches_step(rng):
-    """One loop iteration == one align_step + average rebuild."""
+@pytest.mark.parametrize("sampler", ["gather", "matmul"])
+def test_device_loop_one_iter_matches_step(rng, sampler):
+    """One loop iteration == one align_step + average rebuild.
+
+    The matmul case exercises the in-loop fused transform+class-sum path
+    (class_sum_transform_mm) that TPU runs — on CPU it's the same XLA
+    program, so the parity holds there too."""
     from cryo_ralib_tpu.models.steps import align_step
 
     base = class_templates(1, 64)
@@ -59,19 +64,22 @@ def test_device_loop_one_iter_matches_step(rng):
     valid = jnp.ones(n, jnp.float32)
 
     loop = make_device_loop(cfg, 1, np.zeros(1, np.float32),
-                            sampler="gather", shift_chunk=9)
+                            sampler=sampler, shift_chunk=9)
     p_loop, avg_loop = loop(jnp.asarray(imgs), avg0, AlignParams.zeros(n),
                             gidx, valid)
 
     out = align_step(jnp.asarray(imgs), jnp.asarray(avg0)[None],
                      AlignParams.zeros(n), gidx, valid, cfg=cfg,
-                     n_classes=1, update_ref=False, sampler="gather",
+                     n_classes=1, update_ref=False, sampler=sampler,
                      shift_chunk=9)
     np.testing.assert_allclose(np.asarray(p_loop.angle),
                                np.asarray(out.params.angle), atol=5e-4)
     want_avg = (np.asarray(out.class_sums)[0, 0]
                 + np.asarray(out.class_sums)[0, 1]) / n
-    np.testing.assert_allclose(np.asarray(avg_loop), want_avg, atol=1e-4)
+    # the FFT-shear spectra sums fuse differently inside the fori_loop
+    # program than standalone — float32 ordering noise, not semantics
+    atol = 1e-4 if sampler == "gather" else 5e-3
+    np.testing.assert_allclose(np.asarray(avg_loop), want_avg, atol=atol)
 
 
 def test_device_loop_sharded(rng):
@@ -99,7 +107,8 @@ def test_device_loop_sharded(rng):
                                atol=2e-4 * np.abs(np.asarray(a1)).max())
 
 
-def test_mref_device_loop_one_iter_matches_step(rng):
+@pytest.mark.parametrize("sampler", ["gather", "matmul"])
+def test_mref_device_loop_one_iter_matches_step(rng, sampler):
     from cryo_ralib_tpu.models.device_loop import make_mref_device_loop
     from cryo_ralib_tpu.models.steps import align_step
 
@@ -112,13 +121,13 @@ def test_mref_device_loop_one_iter_matches_step(rng):
     valid = jnp.ones(n, jnp.float32)
 
     loop = make_mref_device_loop(cfg, 1, k, np.zeros(1, np.float32),
-                                 sampler="gather", shift_chunk=9)
+                                 sampler=sampler, shift_chunk=9)
     p_loop, refs_loop = loop(jnp.asarray(imgs), base, AlignParams.zeros(n),
                              gidx, valid)
 
     out = align_step(jnp.asarray(imgs), jnp.asarray(base),
                      AlignParams.zeros(n), gidx, valid, cfg=cfg,
-                     n_classes=k, update_ref=True, sampler="gather",
+                     n_classes=k, update_ref=True, sampler=sampler,
                      shift_chunk=9)
     np.testing.assert_array_equal(np.asarray(p_loop.ref_id),
                                   np.asarray(out.params.ref_id))
@@ -127,7 +136,11 @@ def test_mref_device_loop_one_iter_matches_step(rng):
     want = (s[:, 0] + s[:, 1]) / np.maximum(c, 1)[:, None, None]
     keep = c < 4
     want[keep] = base[keep]
-    np.testing.assert_allclose(np.asarray(refs_loop), want, atol=1e-4)
+    # matmul: FFT-shear sums fuse differently inside the fori_loop than
+    # standalone; worst float32 ordering deviation seen is ~0.1% relative
+    # on O(6) template pixels
+    atol = 1e-4 if sampler == "gather" else 1e-2
+    np.testing.assert_allclose(np.asarray(refs_loop), want, atol=atol)
 
 
 def test_mref_device_loop_converges(rng):
