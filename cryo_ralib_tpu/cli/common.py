@@ -79,10 +79,12 @@ def add_common_flags(p: argparse.ArgumentParser, reffree: bool = False):
                             "channel (CPU-twin semantics, "
                             "test_reffree_gpu_align.py:921)")
         p.add_argument("--dst", type=float, default=0.0,
-                       help="angle-discretization delta; the reference GPU "
-                            "path hard-codes delta=0.0 "
-                            "(test_reffree_gpu_align.py:307) — non-zero "
-                            "values error out rather than being ignored")
+                       help="discrete-angle delta: every 4th iteration "
+                            "(except the last 10) the rotation search is "
+                            "restricted to multiples of this angle "
+                            "(CPU-twin ali2d_single_iter(delta=dst) "
+                            "semantics, test_reffree_gpu_align.py:841-846; "
+                            "the GPU reference hard-codes 0)")
         p.add_argument("--Fourvar", action="store_true",
                        help="compute the 2-D Fourier variance of the "
                             "aligned stack each iteration, divide the "
@@ -94,25 +96,27 @@ def add_common_flags(p: argparse.ArgumentParser, reffree: bool = False):
         p.add_argument("--random_method", default="", choices=["", "SHC", "SCF"],
                        help="SHC = stochastic hill climbing (first "
                             "candidate beating the particle's previousmax); "
-                            "SCF is not implemented and errors out")
+                            "SCF = self-correlation alignment (rotation "
+                            "from the shift-invariant scf, then a 2-D ccf "
+                            "translation; forces half rings)")
     return p
 
 
 def validate_reffree_flags(args):
     """Fail loudly on flags that are not implemented.
 
-    ``--mode=H``, ``--nomirror``, ``--random_method=SHC`` and
-    ``--Fourvar`` are real capability since r3 (the reference GPU path
-    silently ignores them; its CPU twin ``ali2d_base`` honors them,
-    test_reffree_gpu_align.py:714,724,777-831,921).  Still rejected
-    rather than ignored: ``--dst`` (the GPU reference hard-codes
-    delta=0.0, line 307) and ``--random_method=SCF``.
+    ``--mode=H``, ``--nomirror``, ``--random_method=SHC/SCF``,
+    ``--Fourvar`` and ``--dst`` are all real capability since r3 (the
+    reference GPU path silently ignores them; its CPU twin ``ali2d_base``
+    honors them, test_reffree_gpu_align.py:714,724,777-831,841-846,921).
+    The only remaining rejection is the undefined --dst + --random_method
+    combination (the CPU twin's delta applies to the standard search
+    only).
     """
     problems = []
-    if args.dst != 0.0:
-        problems.append("--dst (GPU reference hard-codes delta=0.0)")
-    if args.random_method == "SCF":
-        problems.append("--random_method=SCF (self-correlation not built)")
+    if args.dst != 0.0 and args.random_method:
+        problems.append("--dst with --random_method (the CPU twin's "
+                        "delta only applies to the standard search)")
     if problems:
         print("ERROR: unsupported flag(s) — the reference GPU path ignores "
               "these silently; this rebuild rejects them instead:\n  "

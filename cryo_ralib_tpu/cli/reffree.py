@@ -52,7 +52,7 @@ def main(argv=None):
         images, outdir=args.outdir,
         ir=args.ir, ou=args.ou, rs=args.rs,
         xr=args.xr, yr=args.yr, ts=args.ts,
-        center=args.center, maxit=args.maxit,
+        dst=args.dst, center=args.center, maxit=args.maxit,
         CTF=ctf_params is not None, ctf_params=ctf_params,
         Fourvar=args.Fourvar,
         snr=args.snr, user_func_name=args.function,

@@ -50,12 +50,27 @@ class AlignmentEngine:
     def __init__(self, data: np.ndarray, cfg: AlignConfig, n_classes: int,
                  mesh=None, sampler: str = "auto", update_ref: bool = True,
                  batch_size: int | None = None, shift_chunk: int = 8,
-                 verbose: bool = False, random_method: str = ""):
+                 verbose: bool = False, random_method: str = "",
+                 delta: float = 0.0):
         self.n = data.shape[0]
         self.random_method = random_method
         self.cfg = cfg
         self.n_classes = n_classes
         self.mesh = mesh
+        # --dst discrete-angle search: iterate(discrete=True) runs a
+        # second compiled step whose angle argmax is restricted to
+        # multiples of ``delta`` degrees (built lazily on first use;
+        # non-fused sampler).  The CPU twin applies delta only on the
+        # standard (non-SHC) path (ali2d_single_iter), so SHC engines
+        # reject it.
+        self.delta = float(delta)
+        if self.delta and random_method:
+            raise ValueError("delta (--dst) is only defined for the "
+                             "standard search, not random_method=%r"
+                             % random_method)
+        self._delta_step = None
+        self._step_kwargs = dict(sampler=sampler, update_ref=update_ref,
+                                 shift_chunk=shift_chunk)
         n_dev = mesh.shape["dp"] if mesh is not None else 1
         if batch_size is None:
             import jax as _jax
@@ -102,14 +117,20 @@ class AlignmentEngine:
             self._step = make_align_step_shc(cfg, n_classes=n_classes,
                                              shift_chunk=shift_chunk,
                                              mesh=mesh)
+        elif random_method == "SCF":
+            from .steps import make_align_step_scf
+
+            self._step = make_align_step_scf(cfg, n_classes=n_classes,
+                                             mesh=mesh, sampler=sampler)
         elif random_method:
             raise ValueError(f"unsupported random_method {random_method!r} "
-                             "(only '' and 'SHC')")
+                             "(only '', 'SHC' and 'SCF')")
         else:
             self._step = make_align_step(cfg, n_classes=n_classes,
                                          shift_chunk=shift_chunk,
                                          update_ref=update_ref, mesh=mesh,
                                          sampler=sampler, **step_kw)
+        self._donate = step_kw.get("donate", False)
 
     # -- params access ---------------------------------------------------
     def params_np(self) -> AlignParams:
@@ -178,11 +199,33 @@ class AlignmentEngine:
             self._prevmax_np[:] = pm
 
     # -- one iteration ---------------------------------------------------
-    def iterate(self, refs: np.ndarray) -> IterationResult:
+    def _get_step(self, discrete: bool):
+        if not discrete:
+            return self._step
+        if not self.delta:
+            raise ValueError("iterate(discrete=True) requires the engine "
+                             "to be built with delta != 0 (--dst)")
+        if self._delta_step is None:
+            from ..ops.search import delta_angle_mask
+
+            mask = delta_angle_mask(self.cfg.ring_len, self.delta,
+                                    self.cfg.mode)
+            self._delta_step = make_align_step(
+                self.cfg, n_classes=self.n_classes, mesh=self.mesh,
+                donate=self._donate, angle_mask=mask, **self._step_kwargs)
+        return self._delta_step
+
+    def iterate(self, refs: np.ndarray,
+                discrete: bool = False) -> IterationResult:
+        """One alignment pass.  ``discrete=True`` restricts the rotation
+        search to multiples of the engine's ``delta`` (the --dst
+        every-4th-iteration schedule, test_reffree_gpu_align.py:841-846).
+        """
+        step = self._get_step(discrete)
         refs_j = self._place_refs(refs)
         if self.resident:
             if self.random_method == "SHC":
-                shc = self._step(self._imgs, refs_j, self._params,
+                shc = step(self._imgs, refs_j, self._params,
                                  self._gidx, self._valid, self._prevmax)
                 out = shc.step
                 self._prevmax = shc.previousmax
@@ -193,7 +236,7 @@ class AlignmentEngine:
                     peak=np.asarray(out.peak)[: self.n],
                     sx_sum=float(out.sx_sum), sy_sum=float(out.sy_sum),
                     nope=int(shc.nope))
-            out = self._step(self._imgs, refs_j, self._params, self._gidx,
+            out = step(self._imgs, refs_j, self._params, self._gidx,
                              self._valid)
             self._params = out.params
             return IterationResult(
@@ -241,13 +284,13 @@ class AlignmentEngine:
             if self.random_method == "SHC":
                 pm_b = np.full(b, 1.0e-23, np.float32)
                 pm_b[:m] = self._prevmax_np[sl]
-                shc = self._step(imgs_dev, refs_j, params_b, gidx, valid,
+                shc = step(imgs_dev, refs_j, params_b, gidx, valid,
                                  self._place(pm_b))
                 out = shc.step
                 self._prevmax_np[sl] = np.asarray(shc.previousmax)[:m]
                 nope += int(shc.nope)
             else:
-                out = self._step(imgs_dev, refs_j, params_b, gidx, valid)
+                out = step(imgs_dev, refs_j, params_b, gidx, valid)
             newp = out.params
             p["angle"][sl] = np.asarray(newp.angle)[:m]
             p["shift_x"][sl] = np.asarray(newp.shift_x)[:m]

@@ -62,6 +62,7 @@ def ali2d_base_tpu(
     xr: float = 4.0,
     yr: float = -1.0,
     ts: float = 2.0,
+    dst: float = 0.0,
     center: int = -1,
     maxit: int = 0,
     CTF: bool = False,
@@ -94,7 +95,12 @@ def ali2d_base_tpu(
     each iteration, divides the average's spectrum by it and writes
     ``varf.hdf`` — the CPU twin's ``varf2d_MPI`` behavior
     (test_reffree_gpu_align.py:777-831), which the reference GPU path
-    never implemented.
+    never implemented.  ``dst`` is the CPU twin's discrete-angle delta:
+    every 4th iteration (except the last 10) the rotation search is
+    restricted to multiples of ``dst`` degrees with no parabolic
+    refinement — the perturbation that shakes alignments out of local
+    minima (schedule at test_reffree_gpu_align.py:841-846; the GPU
+    reference hard-codes delta=0, line 307).
     """
     if outdir:
         os.makedirs(outdir, exist_ok=True)
@@ -103,6 +109,9 @@ def ali2d_base_tpu(
 
     n, ny, nx = images.shape
     assert nx == ny, "images are assumed square"
+    if random_method == "SCF":
+        # SCF forces half rings (test_reffree_gpu_align.py:714)
+        mode = "H"
     last_ring = int(ou) if int(ou) != -1 else nx // 2 - 2
     if yr is None or yr < 0:
         yr = xr
@@ -143,7 +152,9 @@ def ali2d_base_tpu(
     engine = AlignmentEngine(data, cfg, n_classes=1, mesh=mesh,
                              sampler=sampler, update_ref=False,
                              batch_size=batch_size, shift_chunk=shift_chunk,
-                             random_method=random_method)
+                             random_method=random_method, delta=dst)
+    if dst:
+        log.add("Discrete angle used         : %d" % int(dst))
     if not engine.resident:
         log.add("streaming %d particles in batches of %d"
                 % (n, engine.batch))
@@ -172,6 +183,13 @@ def ali2d_base_tpu(
             sy_sum = float(extra["sy_sum"])
             total_iter = start_it
             log.add("resumed from checkpoint at iteration %d" % start_it)
+
+    def _delta_for(j: int) -> float:
+        """--dst schedule (test_reffree_gpu_align.py:841-842): discrete
+        angles every 4th iteration, except within the last 10."""
+        if not dst or j < 0:
+            return 0.0
+        return dst if (j % 4 == 0 and (j + 1) <= max_iter - 10) else 0.0
 
     for it in range(start_it, max_iter):
         total_iter += 1
@@ -235,7 +253,12 @@ def ali2d_base_tpu(
                 log.add("Average center x = %10.3f        Center y = %10.3f"
                         % (cs[0], cs[1]))
             else:
-                tavg_f, cs = user_func([mask, center, tavg, frsc])
+                # after a discrete-angle iteration the reference disables
+                # centering in the user function for one call
+                # (ref_data[1]=0 when delta != 0,
+                #  test_reffree_gpu_align.py:811-816)
+                c_eff = 0 if _delta_for(it - 1) != 0.0 else center
+                tavg_f, cs = user_func([mask, c_eff, tavg, frsc])
         tavg = np.asarray(tavg_f, np.float32)
         if outdir:
             write_image(os.path.join(outdir, "aqf.hdf"), tavg, total_iter - 1)
@@ -249,8 +272,12 @@ def ali2d_base_tpu(
 
         # ---- alignment against the new average
         old_tab = params_table(engine.params_np())
+        delta_it = _delta_for(it)
+        if delta_it:
+            log.add("Iteration %d uses discrete angles (delta=%g)"
+                    % (total_iter, delta_it))
         with annotate("reffree::align_iter"):
-            out = engine.iterate(tavg[None])
+            out = engine.iterate(tavg[None], discrete=delta_it != 0.0)
         sums = out.class_sums
         sx_sum = out.sx_sum
         sy_sum = out.sy_sum

@@ -50,7 +50,8 @@ def _header_shift_sums(params: AlignParams, valid):
 def align_step(images, refs, params: AlignParams, global_index, valid,
                cfg: AlignConfig, *, n_classes: int, shift_chunk: int = 8,
                update_ref: bool = True, sampler: str = "auto",
-               fast: bool = True, axis_name: str | None = None) -> StepOutput:
+               fast: bool = True, axis_name: str | None = None,
+               angle_mask=None) -> StepOutput:
     """One alignment iteration over one resident batch (trace-level fn).
 
     Args:
@@ -71,6 +72,12 @@ def align_step(images, refs, params: AlignParams, global_index, valid,
       axis_name: set when running under shard_map over a particle mesh
         axis — class sums/counts and the centering accumulators are
         psum'd over it (the reference's reduce_EMData_to_root).
+      angle_mask: optional (L,) additive mask restricting the angle
+        argmax to discrete bins (the --dst delta search,
+        ops/search.delta_angle_mask).  Decoding then skips the parabolic
+        refinement (exact discrete angles, Crosrng_ms_delta semantics);
+        the fused Pallas kernel does not take a mask, so the sampler
+        downgrades to matmul/gather for such iterations.
     """
     if sampler == "auto":
         if jax.default_backend() == "tpu":
@@ -82,6 +89,8 @@ def align_step(images, refs, params: AlignParams, global_index, valid,
             sampler = "fused" if fused_supported(cfg, n_classes) else "matmul"
         else:
             sampler = "gather"
+    if angle_mask is not None and sampler == "fused":
+        sampler = "matmul"
     ref_fw = prepare_ref_spectra(refs, cfg)
     if sampler == "fused":
         from ..ops.fused_search import fused_search
@@ -89,11 +98,13 @@ def align_step(images, refs, params: AlignParams, global_index, valid,
         result = fused_search(images, ref_fw, params, cfg)
     elif sampler == "matmul":
         result = rotational_shift_search_mm(images, ref_fw, params, cfg,
-                                            fast=fast)
+                                            fast=fast, angle_mask=angle_mask)
     else:
         result = rotational_shift_search(images, ref_fw, params, cfg,
-                                         shift_chunk=shift_chunk)
-    new_params = decode_params(result, params, cfg, update_ref=update_ref)
+                                         shift_chunk=shift_chunk,
+                                         angle_mask=angle_mask)
+    new_params = decode_params(result, params, cfg, update_ref=update_ref,
+                               refine=angle_mask is None)
     if sampler in ("matmul", "fused"):
         # fused FFT-shear transform + class sums: the (N, P, P)
         # transformed stack never hits HBM (VERDICT r2 weak #2)
@@ -185,6 +196,57 @@ def make_align_step_shc(cfg: AlignConfig, n_classes: int,
     return jax.jit(fn, **kwargs)
 
 
+def align_step_scf(images, refs, params: AlignParams, global_index, valid,
+                   cfg: AlignConfig, *, n_classes: int,
+                   sampler: str = "gather", fast: bool = True,
+                   axis_name: str | None = None) -> StepOutput:
+    """One SCF (self-correlation) iteration — ``random_method="SCF"``.
+
+    Rotation from the scf ring spectra (shift-invariant), translation
+    from one DFT cross-correlation per 180-degree candidate
+    (ops/scf.scf_align; semantics contract
+    utils.oracle.align_particle_scf_np).  SCF aligns absolutely each
+    iteration — the previous params are not composed in (the scf stage
+    has no accumulated-shift center), so ``params`` only carries shapes.
+    """
+    from ..ops.scf import scf_align
+
+    new_params, peak = scf_align(images, refs[0], cfg, sampler=sampler,
+                                 fast=fast)
+    transformed = transform_batch(images, new_params)
+    sums, counts = class_sum_oe(transformed, new_params.ref_id, n_classes,
+                                global_index=global_index, valid=valid)
+    sx_sum, sy_sum = _header_shift_sums(new_params, valid)
+    if axis_name is not None:
+        sums = jax.lax.psum(sums, axis_name)
+        counts = jax.lax.psum(counts, axis_name)
+        sx_sum = jax.lax.psum(sx_sum, axis_name)
+        sy_sum = jax.lax.psum(sy_sum, axis_name)
+    peak = jnp.where(valid > 0, peak, 0.0) if valid is not None else peak
+    return StepOutput(new_params, sums, counts, peak, sx_sum, sy_sum)
+
+
+def make_align_step_scf(cfg: AlignConfig, n_classes: int, mesh=None,
+                        sampler: str = "auto", fast: bool = True):
+    """Jitted SCF step, optionally GSPMD-sharded over a 'dp' mesh axis."""
+    if sampler in ("auto", "fused"):
+        # the fused Pallas search has no scf variant; matmul covers TPU
+        sampler = "matmul" if jax.default_backend() == "tpu" else "gather"
+    fn = partial(align_step_scf, cfg=cfg, n_classes=n_classes,
+                 sampler=sampler, fast=fast)
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+        param_shard = AlignParams(shard, shard, shard, shard, shard)
+        kwargs["in_shardings"] = (shard, repl, param_shard, shard, shard)
+        kwargs["out_shardings"] = StepOutput(param_shard, repl, repl, shard,
+                                             repl, repl)
+    return jax.jit(fn, **kwargs)
+
+
 def raw_sum_step(images, global_index, valid, *, n_classes: int = 1):
     """Even/odd sums of the *raw* stack — iteration 0 of the reffree loop
     (``statistics.sum_oe``, test_reffree_gpu_align.py:363-365)."""
@@ -197,7 +259,7 @@ def raw_sum_step(images, global_index, valid, *, n_classes: int = 1):
 def make_align_step(cfg: AlignConfig, n_classes: int, shift_chunk: int = 8,
                     update_ref: bool = True, mesh=None, donate: bool = True,
                     sampler: str = "auto", fast: bool = True,
-                    dist: str = "auto"):
+                    dist: str = "auto", angle_mask=None):
     """Build the jitted step, optionally sharded over a mesh's 'dp' axis.
 
     Two distribution modes over a mesh:
@@ -209,7 +271,12 @@ def make_align_step(cfg: AlignConfig, n_classes: int, shift_chunk: int = 8,
         partition under GSPMD).
     "auto" picks shard_map when the fused sampler is usable (TPU, 1-D
     dp mesh, supported geometry), else gspmd with the matmul sampler.
+
+    ``angle_mask`` builds the discrete-angle (--dst) variant of the step;
+    it forces a non-fused sampler (see align_step).
     """
+    if angle_mask is not None and sampler in ("auto", "fused"):
+        sampler = "matmul" if jax.default_backend() == "tpu" else "gather"
     if mesh is not None:
         from ..ops.fused_search import fused_supported
 
@@ -224,14 +291,15 @@ def make_align_step(cfg: AlignConfig, n_classes: int, shift_chunk: int = 8,
                 sampler = "fused" if fused_ok else (
                     "matmul" if jax.default_backend() == "tpu" else "gather")
             return _make_shard_map_step(cfg, n_classes, shift_chunk,
-                                        update_ref, mesh, sampler, fast)
+                                        update_ref, mesh, sampler, fast,
+                                        angle_mask)
         if sampler in ("auto", "fused"):
             # GSPMD cannot partition the Pallas custom call
             sampler = ("matmul" if jax.default_backend() == "tpu"
                        else "gather") if sampler == "auto" else "matmul"
     fn = partial(align_step, cfg=cfg, n_classes=n_classes,
                  shift_chunk=shift_chunk, update_ref=update_ref,
-                 sampler=sampler, fast=fast)
+                 sampler=sampler, fast=fast, angle_mask=angle_mask)
     kwargs = {}
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -253,7 +321,7 @@ def make_align_step(cfg: AlignConfig, n_classes: int, shift_chunk: int = 8,
 
 
 def _make_shard_map_step(cfg, n_classes, shift_chunk, update_ref, mesh,
-                         sampler, fast):
+                         sampler, fast, angle_mask=None):
     """shard_map distribution: every device runs the full step on its
     particle shard (Pallas kernels included); class sums/counts psum over
     'dp' inside (see align_step axis_name)."""
@@ -261,7 +329,8 @@ def _make_shard_map_step(cfg, n_classes, shift_chunk, update_ref, mesh,
 
     fn = partial(align_step, cfg=cfg, n_classes=n_classes,
                  shift_chunk=shift_chunk, update_ref=update_ref,
-                 sampler=sampler, fast=fast, axis_name="dp")
+                 sampler=sampler, fast=fast, axis_name="dp",
+                 angle_mask=angle_mask)
     pspec = AlignParams(*([P("dp")] * 5))
     smapped = jax.shard_map(
         fn, mesh=mesh,

@@ -37,6 +37,34 @@ from .polar_mm import PolarTables, build_polar_tables, polar_group_mm, translate
 _NEG_INF = -3.0e38
 
 
+def delta_angle_bins(ring_len: int, delta: float, mode: str = "F") -> np.ndarray:
+    """Angle bins eligible under a discrete-angle (``delta``) search.
+
+    The CPU twin's ``--dst`` flag makes every 4th iteration search only
+    rotations that are multiples of ``delta`` degrees
+    (``ali2d_single_iter(..., delta=dst)`` -> EMAN2
+    ``Util.Crosrng_ms_delta``; schedule at
+    test_reffree_gpu_align.py:841-846).  On the uniform ``ring_len``-bin
+    ccf rows the equivalent is restricting the argmax to the bins nearest
+    each multiple of delta within the ring span (360 deg for mode "F",
+    180 for "H").  Returns the sorted unique int bin indices.
+    """
+    if delta <= 0.0:
+        raise ValueError("delta must be positive")
+    span = 360.0 if mode == "F" else 180.0
+    step = span / ring_len
+    angles = np.arange(0.0, span - 1e-9, delta)
+    bins = np.unique(np.round(angles / step).astype(np.int64) % ring_len)
+    return bins
+
+
+def delta_angle_mask(ring_len: int, delta: float, mode: str = "F") -> np.ndarray:
+    """Additive (L,) f32 mask: 0 at ``delta_angle_bins``, -inf elsewhere."""
+    mask = np.full(ring_len, _NEG_INF, np.float32)
+    mask[delta_angle_bins(ring_len, delta, mode)] = 0.0
+    return mask
+
+
 class SearchResult(NamedTuple):
     """Raw per-particle search outcome (pre-decode)."""
 
@@ -71,6 +99,7 @@ def rotational_shift_search(
     cfg: AlignConfig,
     shift_chunk: int = 8,
     per_particle_ref: bool = False,
+    angle_mask=None,
 ) -> SearchResult:
     """Run the full (mirror x shift x ref x angle) search for one batch.
 
@@ -86,6 +115,9 @@ def rotational_shift_search(
               a memory/perf knob, result is identical.
       per_particle_ref: use each particle's current ref only
               (``cu_ccf_mult`` semantics) instead of all refs.
+      angle_mask: optional (L,) additive f32 mask restricting the angle
+              argmax (``delta_angle_mask`` — the --dst discrete-angle
+              search); decode with ``refine=False`` when set.
 
     Returns:
       SearchResult with the winning (value, row, angle bin, shift, ref,
@@ -135,6 +167,8 @@ def rotational_shift_search(
             mirr_f = None   # --nomirror: skip the mirrored channel
         rows = ccf_rows(orig_f, mirr_f, ring_len)  # (N, M, C, K, L)
         rows = rows + chunk_mask[None, None, :, None, None]
+        if angle_mask is not None:
+            rows = rows + jnp.asarray(angle_mask)
         global_sidx = chunk_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
         return _update_best(carry, rows, global_sidx), None
 
@@ -195,6 +229,7 @@ def rotational_shift_search_mm(
     tables: PolarTables | None = None,
     per_particle_ref: bool = False,
     fast: bool = True,
+    angle_mask=None,
 ) -> SearchResult:
     """Gather-free variant of ``rotational_shift_search`` (TPU fast path).
 
@@ -244,6 +279,8 @@ def rotational_shift_search_mm(
         if not cfg.mirror:
             mirr_f = None   # --nomirror: skip the mirrored channel
         rows = ccf_rows(orig_f, mirr_f, ring_len)  # (N, M, n_dx, K, L)
+        if angle_mask is not None:
+            rows = rows + jnp.asarray(angle_mask)
         # x-major global order: sidx = xi * n_dy + yi
         global_sidx = jnp.arange(tables.n_dx, dtype=jnp.int32) * n_dy + yi
         return _update_best(carry, rows, global_sidx), None
@@ -383,7 +420,7 @@ def rotational_shift_search_shc(
 
 def decode_params(
     result: SearchResult, params: AlignParams, cfg: AlignConfig,
-    update_ref: bool = True,
+    update_ref: bool = True, refine: bool = True,
 ) -> AlignParams:
     """Turn a SearchResult into updated AlignParams.
 
@@ -396,30 +433,38 @@ def decode_params(
       ``+180`` (mod 360) when mirrored.  In mode "H" the bin step is
       180/ring_len (EMAN2 ``ang_n`` half-ring convention); the same flip
       applies.
+
+    ``refine=False`` skips the parabolic fit and returns the exact bin
+    angle — required for discrete-angle (``angle_mask``) searches, whose
+    winning row holds -inf at masked neighbor bins (and whose contract is
+    an exact multiple of delta, ``Util.Crosrng_ms_delta`` semantics).
     """
     ring_len = cfg.ring_len
     step = cfg.angle_step
 
-    # 7-point window around the peak, circular in angle (modulo ring_len,
-    # as in the CUDA code which wraps with % ring_len).  Gather-free: a
-    # one-hot of the peak bin dotted against 7 static rolls of the row —
-    # dynamic per-particle gathers are slow on TPU.
-    onehot = (jnp.arange(ring_len, dtype=jnp.int32)[None, :]
-              == result.best_aidx[:, None]).astype(result.best_row.dtype)
-    cols = []
-    for i in range(-3, 4):
-        # x_i[n] = row[n, (aidx + i) % L] = sum_a row[n, a] onehot[n, a - i]
-        cols.append(jnp.sum(result.best_row * jnp.roll(onehot, i, axis=1),
-                            axis=1))
-    x = jnp.stack(cols, axis=1)  # (N, 7)
-
-    c2 = (49.0 * x[:, 0] + 6.0 * x[:, 1] - 21.0 * x[:, 2] - 32.0 * x[:, 3]
-          - 27.0 * x[:, 4] - 6.0 * x[:, 5] + 31.0 * x[:, 6])
-    c3 = (5.0 * x[:, 0] - 3.0 * x[:, 2] - 4.0 * x[:, 3] - 3.0 * x[:, 4]
-          + 5.0 * x[:, 6])
     base_angle = step * result.best_aidx.astype(jnp.float32)
-    refine = jnp.where(c3 != 0.0, step * (c2 / (2.0 * c3) - 4.0), 0.0)
-    angle = 360.0 - (base_angle + refine)
+    if refine:
+        # 7-point window around the peak, circular in angle (modulo
+        # ring_len, as in the CUDA code which wraps with % ring_len).
+        # Gather-free: a one-hot of the peak bin dotted against 7 static
+        # rolls of the row — dynamic per-particle gathers are slow on TPU.
+        onehot = (jnp.arange(ring_len, dtype=jnp.int32)[None, :]
+                  == result.best_aidx[:, None]).astype(result.best_row.dtype)
+        cols = []
+        for i in range(-3, 4):
+            # x_i[n] = row[n, (aidx+i) % L] = sum_a row[n, a] onehot[n, a-i]
+            cols.append(jnp.sum(result.best_row * jnp.roll(onehot, i, axis=1),
+                                axis=1))
+        x = jnp.stack(cols, axis=1)  # (N, 7)
+
+        c2 = (49.0 * x[:, 0] + 6.0 * x[:, 1] - 21.0 * x[:, 2] - 32.0 * x[:, 3]
+              - 27.0 * x[:, 4] - 6.0 * x[:, 5] + 31.0 * x[:, 6])
+        c3 = (5.0 * x[:, 0] - 3.0 * x[:, 2] - 4.0 * x[:, 3] - 3.0 * x[:, 4]
+              + 5.0 * x[:, 6])
+        frac = jnp.where(c3 != 0.0, step * (c2 / (2.0 * c3) - 4.0), 0.0)
+        angle = 360.0 - (base_angle + frac)
+    else:
+        angle = 360.0 - base_angle
     mirrored = result.best_mirror == 1
     # the reference wraps into [0, 360) only on the mirrored branch
     # (cuda/gpu_aln_noref.cu:2306-2310); replicate exactly

@@ -109,10 +109,11 @@ def _build_table_np(img, refs, coords, ring_weights, shifts,
 
 
 def _decode_np(table, idx, shifts, acc_sx, acc_sy, shift_limit,
-               mode="F"):
+               mode="F", refine=True):
     """compute_alignment_param decode of one flat table index
     (cuda/gpu_aln_noref.cu:2249-2314); mode "H" halves the bin step
-    (EMAN2 ang_n half-ring convention)."""
+    (EMAN2 ang_n half-ring convention).  ``refine=False`` skips the
+    prb1d parabola (discrete-angle / delta searches)."""
     n_mirr, s, k, r_len = table.shape
     peak = table.reshape(-1)[idx]
     aidx = idx % r_len
@@ -122,10 +123,13 @@ def _decode_np(table, idx, shifts, acc_sx, acc_sy, shift_limit,
     sidx = rest % s
     midx = rest // s
 
-    row = table[midx, sidx, ridx]
-    xs = np.array([row[(aidx + i) % r_len] for i in range(-3, 4)])
     step = (360.0 if mode == "F" else 180.0) / r_len
-    angle = step * aidx + step * prb1d(xs)
+    if refine:
+        row = table[midx, sidx, ridx]
+        xs = np.array([row[(aidx + i) % r_len] for i in range(-3, 4)])
+        angle = step * aidx + step * prb1d(xs)
+    else:
+        angle = step * aidx
     angle = 360.0 - angle
     if midx == 1:
         angle += 180.0
@@ -141,7 +145,8 @@ def _decode_np(table, idx, shifts, acc_sx, acc_sy, shift_limit,
 def align_particle_np(img: np.ndarray, refs: np.ndarray, coords: np.ndarray,
                       ring_weights: np.ndarray, shifts: np.ndarray,
                       acc_sx: float, acc_sy: float, shift_limit: float,
-                      mode: str = "F", mirror: bool = True):
+                      mode: str = "F", mirror: bool = True,
+                      delta: float = 0.0):
     """Full single-particle search + decode.
 
     Mirrors mref_align_run for one particle: enumerate shifts, build the
@@ -149,11 +154,27 @@ def align_particle_np(img: np.ndarray, refs: np.ndarray, coords: np.ndarray,
     then compute_alignment_param decode (cuda/gpu_aln_noref.cu:2249-2314).
     ``mirror=False`` drops the mirrored channel (--nomirror); ``mode="H"``
     expects half-ring coords and decodes with the 180-degree span.
+    ``delta > 0`` restricts the angle argmax to bins nearest multiples of
+    delta and skips the prb1d refinement (the --dst discrete search,
+    ``Util.Crosrng_ms_delta`` semantics).
 
     Returns dict(angle, shift_x, shift_y, mirror, ref_id, peak).
     """
     table = _build_table_np(img, refs, coords, ring_weights, shifts,
                             acc_sx, acc_sy, mirror=mirror)
+    if delta > 0.0:
+        r_len = table.shape[-1]
+        masked = np.full_like(table, -np.inf)
+        # same bin set as ops/search.delta_angle_bins (kept JAX-free here)
+        span = 360.0 if mode == "F" else 180.0
+        step = span / r_len
+        bins = np.unique(np.round(
+            np.arange(0.0, span - 1e-9, delta) / step).astype(np.int64)
+            % r_len)
+        masked[..., bins] = table[..., bins]
+        idx = int(np.argmax(masked.reshape(-1)))
+        return _decode_np(table, idx, shifts, acc_sx, acc_sy, shift_limit,
+                          mode=mode, refine=False)
     idx = int(np.argmax(table.reshape(-1)))
     return _decode_np(table, idx, shifts, acc_sx, acc_sy, shift_limit,
                       mode=mode)
@@ -411,3 +432,87 @@ def align_particle_eman_np(img: np.ndarray, refs: np.ndarray,
     sy = min(max(acc_sy + shifts[sidx, 1], -shift_limit), shift_limit)
     return dict(angle=angle, shift_x=sx, shift_y=sy, mirror=int(midx),
                 ref_id=int(ridx), peak=peak)
+
+
+# --------------------------------------------------------------------------
+# SCF (self-correlation) alignment — random_method="SCF"
+# --------------------------------------------------------------------------
+
+def scf_np(img: np.ndarray) -> np.ndarray:
+    """Self-correlation function: centered inverse FFT of the Fourier
+    amplitude |F| (EMAN2 ``fundamentals.scf`` / self-mutual-correlation).
+
+    Translation-invariant and centrosymmetric — rotation can be read off
+    it independently of shifts, at the cost of a 180-degree ambiguity.
+    Used by the CPU twin's ``random_method="SCF"`` path
+    (test_reffree_gpu_align.py:714: SCF forces mode="H";
+    ``ali2d_single_iter`` -> SPHIRE ``multalign2d_scf``, outside the
+    reference repo — semantics defined here and mirrored by
+    ops/scf.py).
+    """
+    amp = np.abs(np.fft.fft2(img.astype(np.float64)))
+    return np.fft.fftshift(np.fft.ifft2(amp).real)
+
+
+def align_particle_scf_np(img: np.ndarray, ref: np.ndarray,
+                          coords: np.ndarray, ring_weights: np.ndarray,
+                          xr: int, yr: int, shift_limit: float):
+    """SCF two-stage alignment of one particle against one reference.
+
+    Stage 1 (rotation): polar half-rings ("H" ``coords``) of scf(img) vs
+    scf(ref), rotational ccf with the mirror channel, global argmax over
+    (mirror, angle), prb1d refinement, H-mode decode — exactly the
+    standard decode at zero shift.  The scf's centrosymmetry leaves a
+    180-degree ambiguity: candidates {angle, angle+180}.
+
+    Stage 2 (translation): for each candidate, score integer shifts
+    s in [-xr..xr]x[-yr..yr] as
+
+        score(s) = sum_z invref(z) * img(z + s)   (circulant roll)
+
+    where ``invref = transform_np(ref, angle if mirror else -angle, 0,
+    0, mirror)`` — the identity sum_y ref(y) * transform_np(img, angle,
+    sx, sy, m)(y) == sum_z invref(z) * img(z+s) (rotating the single
+    reference instead of the particle per shift; for 2-D rotations
+    M R(t) M = R(-t) gives the mirrored-branch angle sign).  The best
+    (candidate, shift) wins; order [cand][sy][sx], first max.
+
+    Returns dict(angle, shift_x, shift_y, mirror, ref_id=0, peak).
+    """
+    sci = scf_np(img)
+    scr = scf_np(ref)
+    table = ccf_table_np(polar_resample_np(sci, coords),
+                         np.stack([polar_resample_np(scr, coords)]),
+                         ring_weights)  # (2, 1, L)
+    r_len = table.shape[-1]
+    flat = table.reshape(-1)
+    idx = int(np.argmax(flat))
+    aidx = idx % r_len
+    midx = idx // r_len
+    row = table[midx, 0]
+    xs = np.array([row[(aidx + i) % r_len] for i in range(-3, 4)])
+    step = 180.0 / r_len            # H mode
+    ang = step * aidx + step * prb1d(xs)
+    ang = 360.0 - ang
+    if midx == 1:
+        ang += 180.0
+        if ang >= 360.0:
+            ang -= 360.0
+
+    best = None
+    for cand in (ang % 360.0, (ang + 180.0) % 360.0):
+        inv_ang = cand if midx == 1 else -cand
+        invref = transform_np(ref.astype(np.float64), inv_ang, 0.0, 0.0,
+                              midx)
+        for sy in range(-int(yr), int(yr) + 1):
+            for sx in range(-int(xr), int(xr) + 1):
+                score = float(np.sum(
+                    invref * np.roll(img, (-sy, -sx), axis=(0, 1))))
+                if best is None or score > best["peak"]:
+                    best = dict(angle=cand,
+                                shift_x=min(max(sx, -shift_limit),
+                                            shift_limit),
+                                shift_y=min(max(sy, -shift_limit),
+                                            shift_limit),
+                                mirror=int(midx), ref_id=0, peak=score)
+    return best

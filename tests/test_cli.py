@@ -89,11 +89,11 @@ def test_reffree_cli_end_to_end(tmp_path, stack_files):
     params = np.loadtxt(os.path.join(outdir, "initial2Dparams.txt"))
     assert params.shape[0] == get_image_count(stack)
 
-    # unsupported reference-GPU flags are rejected loudly (--mode=H,
-    # --random_method=SHC and --Fourvar became real capability in r3)
+    # every alignment-mode flag is real capability in r3; the one
+    # undefined combination (--dst + --random_method) is rejected loudly
     with pytest.raises(SystemExit):
         cli_reffree.main([stack, str(tmp_path / "y"), "--ou=24",
-                          "--dst=90"])
+                          "--dst=90", "--random_method=SHC"])
 
     # H-mode + Fourier variance run end-to-end through the CLI now
     rc = cli_reffree.main([stack, str(tmp_path / "out_h"), "--ou=24",

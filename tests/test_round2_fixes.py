@@ -129,7 +129,8 @@ class TestFlagHonesty:
         validate_reffree_flags(self._args())  # no raise
 
     @pytest.mark.parametrize("kw", [
-        {"dst": 90.0}, {"random_method": "SCF"},
+        {"dst": 90.0, "random_method": "SHC"},
+        {"dst": 90.0, "random_method": "SCF"},
     ])
     def test_unimplemented_flags_rejected(self, kw):
         from cryo_ralib_tpu.cli.common import validate_reffree_flags
@@ -139,7 +140,7 @@ class TestFlagHonesty:
 
     @pytest.mark.parametrize("kw", [
         {"mode": "H"}, {"random_method": "SHC"}, {"nomirror": True},
-        {"Fourvar": True},
+        {"Fourvar": True}, {"dst": 90.0}, {"random_method": "SCF"},
     ])
     def test_r3_capability_flags_accepted(self, kw):
         # real capability since r3 (VERDICT r2 items 5/7); must validate
