@@ -64,10 +64,11 @@ def align_step(images, refs, params: AlignParams, global_index, valid,
       n_classes: static K (must equal refs.shape[0]).
       update_ref: False for the single-reference (reffree) path.
       sampler: "fused" = fully fused Pallas kernels (TPU,
-        ops/fused_search.py), "matmul" = gather-free tent-matmul XLA
-        path (ops/polar_mm.py; the GSPMD-sharded TPU path), "gather"
-        = exact texture-semantics bilinear gather (fast on CPU),
-        "auto" = pick by backend.
+        ops/fused_search.py), "template" = brute-force template matmul
+        (ops/template_search.py; pure dot_general — the fast GSPMD
+        mesh path), "matmul" = gather-free tent-matmul XLA path
+        (ops/polar_mm.py), "gather" = exact texture-semantics bilinear
+        gather (fast on CPU), "auto" = pick by backend.
       fast: bf16 MXU mode for the matmul sampler.
       axis_name: set when running under shard_map over a particle mesh
         axis — class sums/counts and the centering accumulators are
@@ -82,20 +83,27 @@ def align_step(images, refs, params: AlignParams, global_index, valid,
     if sampler == "auto":
         if jax.default_backend() == "tpu":
             from ..ops.fused_search import fused_supported
+            from ..ops.template_search import template_supported
 
             # the Pallas custom call does not partition under GSPMD, so
-            # sharded steps use the matmul path (mesh is not visible
-            # here; make_align_step downgrades before jit)
-            sampler = "fused" if fused_supported(cfg, n_classes) else "matmul"
+            # sharded steps use the template/matmul path (mesh is not
+            # visible here; make_align_step downgrades before jit)
+            sampler = ("fused" if fused_supported(cfg, n_classes)
+                       else "template" if template_supported(cfg, n_classes)
+                       else "matmul")
         else:
             sampler = "gather"
-    if angle_mask is not None and sampler == "fused":
+    if angle_mask is not None and sampler in ("fused", "template"):
         sampler = "matmul"
     ref_fw = prepare_ref_spectra(refs, cfg)
     if sampler == "fused":
         from ..ops.fused_search import fused_search
 
         result = fused_search(images, ref_fw, params, cfg)
+    elif sampler == "template":
+        from ..ops.template_search import template_search
+
+        result = template_search(images, ref_fw, params, cfg)
     elif sampler == "matmul":
         result = rotational_shift_search_mm(images, ref_fw, params, cfg,
                                             fast=fast, angle_mask=angle_mask)
@@ -105,7 +113,7 @@ def align_step(images, refs, params: AlignParams, global_index, valid,
                                          angle_mask=angle_mask)
     new_params = decode_params(result, params, cfg, update_ref=update_ref,
                                refine=angle_mask is None)
-    if sampler in ("matmul", "fused"):
+    if sampler in ("matmul", "fused", "template"):
         # fused FFT-shear transform + class sums: the (N, P, P)
         # transformed stack never hits HBM (VERDICT r2 weak #2)
         sums, counts = class_sum_transform_mm(
@@ -294,9 +302,20 @@ def make_align_step(cfg: AlignConfig, n_classes: int, shift_chunk: int = 8,
                                         update_ref, mesh, sampler, fast,
                                         angle_mask)
         if sampler in ("auto", "fused"):
-            # GSPMD cannot partition the Pallas custom call
-            sampler = ("matmul" if jax.default_backend() == "tpu"
-                       else "gather") if sampler == "auto" else "matmul"
+            # GSPMD cannot partition the Pallas custom call; the
+            # template engine is pure dot_general and partitions over
+            # 'dp' at full speed (ops/template_search.py) — use it when
+            # the geometry allows, except on 'ref'-sharded meshes where
+            # its k-inner column order would force TM all-gathers
+            from ..ops.template_search import template_supported
+
+            if (jax.default_backend() == "tpu"
+                    and "ref" not in mesh.axis_names
+                    and template_supported(cfg, n_classes)):
+                sampler = "template"
+            else:
+                sampler = ("matmul" if jax.default_backend() == "tpu"
+                           else "gather") if sampler == "auto" else "matmul"
     fn = partial(align_step, cfg=cfg, n_classes=n_classes,
                  shift_chunk=shift_chunk, update_ref=update_ref,
                  sampler=sampler, fast=fast, angle_mask=angle_mask)

@@ -21,4 +21,9 @@ from .search import (  # noqa: F401
     prepare_ref_spectra,
     rotational_shift_search,
 )
+from .template_search import (  # noqa: F401
+    build_template_matrix,
+    template_search,
+    template_supported,
+)
 from .transform import rot_shift2d, transform_batch  # noqa: F401

@@ -1,0 +1,259 @@
+"""Brute-force template-matmul search engine (``sampler="template"``).
+
+The whole (mirror x shift x ref x angle) ccf table is computed as ONE
+pixel-domain matmul on the MXU:
+
+    ccf[n, m, s, k, l] = <img_t[n], T[m, s, k, l]>
+
+where ``img_t`` is the accumulated-shift pre-translated particle
+(``translate_bilinear_mm``, same first stage as the matmul sampler) and
+``T`` is the bilinear-splat back-projection of the ring-weighted,
+angle-rolled polar reference rings, spatially shifted by the integer
+search-grid offset.  Because the splat uses the SAME tent algebra as
+``ops/polar_mm.py``, this is algebraically the production ccf table —
+not an approximation (tools/template_proto.py measured 256/256 winner
+parity against ``rotational_shift_search_mm`` on random stacks).
+
+Why a third engine (measure-first, see tools/template_proto.py):
+
+* The fused Pallas kernel is VPU-bound at ~174 ms per 8192-particle
+  K=8 S=49 search (tools/fused_ablate.py end-of-r3 map) — the
+  frequency-domain ring contraction is elementwise per frequency bin
+  and cannot ride the MXU.  The template formulation spends ~2.6
+  GFLOP/particle of pure bf16 matmul instead and measured 155 ms
+  (71% of v5e bf16 peak) from plain XLA, with no VMEM geometry gates.
+* It is pure ``dot_general`` + ``fori_loop``, so it partitions under
+  GSPMD — unlike the Pallas kernel (custom calls don't partition), it
+  serves the multi-chip mesh path at full speed.
+* Any ``img_dim``/``ring_len``/K runs (no 128-lane window or scratch
+  budget); cost scales with the template window area.
+
+Template build (per iteration — refs change): the correlation over the
+ring angle t is done per frequency against the precomputed splat
+spectra, so the per-iteration work is two small ring-contractions, one
+inverse-DFT matmul, and the 49 shifted window slices:
+
+    tb_orig[k, l, px] = sum_r irfft(ref_fw[k, r] * conj(SF[r, :, px]))[l]
+    tb_mirr[k, l, px] = sum_r irfft(ref_fw[k, r] *      SF[r, :, px] )[-l % L]
+
+(``ref_fw`` from ``prepare_ref_spectra`` is exactly the weighted ring
+spectra this needs; SF is the rfft-over-t of the splat tensor
+``Wy0[q,h] * Wx0[q,w]``.)  The normalized inverse DFT of ``ccf_rows``
+cancels the unnormalized forward, so no extra scale appears.
+
+Reference being replaced: the ``mref_align_run`` hot loop
+(cuda/gpu_aln_noref.cu:389-416) — resample + FFT + ccf + argmax over
+the CcfResultTable — collapsed into matmul + online argmax.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .dft import irfft_mm, rfft_mm
+from .polar_mm import build_polar_tables, polar_group_mm, tent_rows, \
+    translate_bilinear_mm
+from .search import SearchResult, _NEG_INF
+
+# soft budget for the materialized template matrix (HBM is 16 GB on v5e;
+# the search itself streams it, so this only bounds residency)
+TEMPLATE_MATRIX_BUDGET_BYTES = 6 << 30
+
+
+def template_geometry(cfg):
+    """(window_start, window_width, pad) of the central square window
+    that covers every ring sample under every grid shift plus the
+    bilinear tent: radius ring_num + max_shift + 1."""
+    rad = int(np.ceil(cfg.ring_num
+                      + max(cfg.shift_rng_x, cfg.shift_rng_y) + 1))
+    c = cfg.img_dim // 2
+    pad = int(np.ceil(max(cfg.shift_rng_x, cfg.shift_rng_y)))
+    return c - rad, 2 * rad + 1, pad
+
+
+def template_supported(cfg, n_classes: int) -> bool:
+    """Geometry gate for the template engine.
+
+    Requires an integer shift grid (template shifting is a pixel roll),
+    the sampling window inside the image, and a template matrix within
+    the HBM budget.  Any ``img_dim``/``ring_len`` is fine otherwise.
+    """
+    sx, sy = cfg.shift_x_vals, cfg.shift_y_vals
+    if not (np.allclose(sx, np.round(sx)) and np.allclose(sy, np.round(sy))):
+        return False
+    lo, width, _ = template_geometry(cfg)
+    if lo < 0 or lo + width > cfg.img_dim:
+        return False
+    n_mirror = 2 if cfg.mirror else 1
+    tm_bytes = (n_mirror * cfg.n_shifts * n_classes * cfg.ring_len
+                * width * width * 2)
+    return tm_bytes <= TEMPLATE_MATRIX_BUDGET_BYTES
+
+
+def _base_tents(cfg, lo, width):
+    """Zero-shift window tent matrices (Q, width) x2 — numpy constants."""
+    coords = cfg.polar_coords
+    c = cfg.img_dim // 2
+    wy = tent_rows(c - lo + coords[..., 1].reshape(-1), width)
+    wx = tent_rows(c - lo + coords[..., 0].reshape(-1), width)
+    return wy, wx
+
+
+def splat_spectra(cfg):
+    """(R, F, Wpx) complex64 rfft-over-t spectra of the splat tensor.
+
+    Jittable; depends only on cfg.  Computed inside the step (the
+    materialized array is ~250 MB for the 90 px config — too large to
+    bake into the program as a constant, cheap to rebuild on device).
+    """
+    lo, width, _ = template_geometry(cfg)
+    wy, wx = _base_tents(cfg, lo, width)
+    splat = jnp.einsum("qh,qw->qhw", jnp.asarray(wy), jnp.asarray(wx))
+    splat = splat.reshape(cfg.ring_num, cfg.ring_len, width * width)
+    sf = rfft_mm(splat.transpose(0, 2, 1))        # (R, Wpx, F)
+    return sf.transpose(0, 2, 1)                  # (R, F, Wpx)
+
+
+def build_template_matrix(ref_fw, cfg, sf=None):
+    """Weighted ring spectra (K, R, F) -> (C, Wpx) bf16 template matrix.
+
+    Column order [mirror][shift][ref][angle] — the reference table's
+    flat priority order (cuda/gpu_aln_noref.cu:2172-2178).  Jittable;
+    rebuilt every iteration (refs change).
+    """
+    ring_len = cfg.ring_len
+    k_num = ref_fw.shape[0]
+    lo, width, pad = template_geometry(cfg)
+    if sf is None:
+        sf = splat_spectra(cfg)
+    g = jnp.einsum("krf,rfp->kpf", ref_fw, jnp.conj(sf))
+    tbo = irfft_mm(g, n=ring_len)                 # (K, Wpx, L)
+    chans = [tbo]
+    if cfg.mirror:
+        h = jnp.einsum("krf,rfp->kpf", ref_fw, sf)
+        tbm = irfft_mm(h, n=ring_len)
+        # angle index reversal (-l % L) = flip + roll (copies, no gather)
+        chans.append(jnp.roll(jnp.flip(tbm, axis=-1), 1, axis=-1))
+    tb = jnp.stack(chans).transpose(0, 1, 3, 2)   # (M, K, L, Wpx)
+    tb = tb.reshape(len(chans), k_num, ring_len, width, width)
+    tb = tb.astype(jnp.bfloat16)
+    tbp = jnp.pad(tb, ((0, 0), (0, 0), (0, 0), (pad, pad), (pad, pad)))
+    slabs = []
+    # x-major shift order: sidx = xi * n_dy + yi (config.shifts)
+    for dx in cfg.shift_x_vals:
+        for dy in cfg.shift_y_vals:
+            dyi, dxi = int(round(float(dy))), int(round(float(dx)))
+            slabs.append(jax.lax.slice(
+                tbp, (0, 0, 0, pad - dyi, pad - dxi),
+                (len(chans), k_num, ring_len, pad - dyi + width,
+                 pad - dxi + width)))
+    tm = jnp.stack(slabs, axis=1)                 # (M, S, K, L, w, w)
+    return tm.reshape(len(chans) * len(slabs) * k_num * ring_len,
+                      width * width)
+
+
+def _col_chunk(c_total: int, ring_len: int, target: int = 2048) -> int:
+    """Largest divisor of c_total that is a multiple of ring_len and
+    <= target (2048-column chunks measured fastest on v5e)."""
+    groups = c_total // ring_len
+    best = ring_len
+    for g in range(1, groups + 1):
+        if groups % g == 0 and g * ring_len <= target:
+            best = g * ring_len
+    return best
+
+
+def _argmax_chunked(img_win, tm, ring_len: int):
+    """(N, Wpx) x (C, Wpx) -> per-particle (best_val, flat col index).
+
+    Ascending chunk order + strict '>' keeps the first-seen maximum —
+    the flat table argmax priority."""
+    n = img_win.shape[0]
+    c_total = tm.shape[0]
+    chunk = _col_chunk(c_total, ring_len)
+    n_chunks = c_total // chunk
+
+    def body(i, carry):
+        best_val, best_idx = carry
+        cols = jax.lax.dynamic_slice(tm, (i * chunk, 0),
+                                     (chunk, tm.shape[1]))
+        scores = jnp.dot(img_win, cols.T,
+                         preferred_element_type=jnp.float32)
+        v = jnp.max(scores, axis=1)
+        a = jnp.argmax(scores, axis=1).astype(jnp.int32) + i * chunk
+        take = v > best_val
+        return jnp.where(take, v, best_val), jnp.where(take, a, best_idx)
+
+    init = (jnp.full((n,), _NEG_INF, jnp.float32),
+            jnp.zeros((n,), jnp.int32))
+    if n_chunks == 1:
+        return body(0, init)
+    return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+def _winning_rows(images, ref_fw, params, cfg, sidx, ridx, midx, tables):
+    """Recompute the winning candidate's full angle row (for prb1d and a
+    self-consistent f32 peak): one zero-shift polar sample of each
+    particle translated by its winning TOTAL shift (accumulated + grid —
+    exactly the two-stage sampling for integer grids), then the ccf row
+    against its winning reference/mirror channel."""
+    shift_grid = jnp.asarray(cfg.shifts)
+    onehot = (jnp.arange(shift_grid.shape[0], dtype=jnp.int32)[None, :]
+              == sidx[:, None]).astype(jnp.float32)
+    ds = onehot @ shift_grid                      # (N, 2)
+    img_w = translate_bilinear_mm(images, params.shift_x + ds[:, 0],
+                                  params.shift_y + ds[:, 1])
+    polar = polar_group_mm(img_w, jnp.asarray(tables.wy[0]),
+                           jnp.asarray(tables.wx[:1]),
+                           cfg.ring_num, cfg.ring_len, fast=True)[:, 0]
+    sbj_f = rfft_mm(polar)                        # (N, R, F)
+    ref_sel = jnp.take(ref_fw, ridx, axis=0)      # (N, R, F)
+    hp = jax.lax.Precision.HIGHEST
+    orig = jnp.einsum("nrf,nrf->nf", jnp.conj(sbj_f), ref_sel, precision=hp)
+    if cfg.mirror:
+        mirr = jnp.conj(jnp.einsum("nrf,nrf->nf", sbj_f, ref_sel,
+                                   precision=hp))
+        row_f = jnp.where((midx == 1)[:, None], mirr, orig)
+    else:
+        row_f = orig
+    return irfft_mm(row_f, n=cfg.ring_len)        # (N, L)
+
+
+def template_search(images, ref_fw, params, cfg, sf=None) -> SearchResult:
+    """Full (mirror x shift x ref x angle) search via the template
+    matmul.  Drop-in replacement for ``rotational_shift_search_mm``
+    (same SearchResult contract, same priority order)."""
+    ring_len = cfg.ring_len
+    k_num = ref_fw.shape[0]
+    s_num = cfg.n_shifts
+    lo, width, _ = template_geometry(cfg)
+
+    tm = build_template_matrix(ref_fw, cfg, sf=sf)
+    img_t = translate_bilinear_mm(images, params.shift_x, params.shift_y)
+    win = img_t[:, lo:lo + width, lo:lo + width]
+    win = win.reshape(images.shape[0], -1).astype(jnp.bfloat16)
+    _, idx = _argmax_chunked(win, tm, ring_len)
+
+    aidx = (idx % ring_len).astype(jnp.int32)
+    rest = idx // ring_len
+    ridx = (rest % k_num).astype(jnp.int32)
+    rest = rest // k_num
+    sidx = (rest % s_num).astype(jnp.int32)
+    midx = (rest // s_num).astype(jnp.int32)
+
+    # zero-shift tables for the row recompute (cached per cfg by
+    # build_polar_tables' caller pattern; cheap to rebuild — numpy)
+    import dataclasses as _dc
+
+    cfg0 = _dc.replace(cfg, shift_rng_x=0.0, shift_rng_y=0.0)
+    tables = build_polar_tables(cfg0)
+    row = _winning_rows(images, ref_fw, params, cfg, sidx, ridx, midx,
+                        tables)
+    onehot_a = (jnp.arange(ring_len, dtype=jnp.int32)[None, :]
+                == aidx[:, None]).astype(row.dtype)
+    best_val = jnp.sum(row * onehot_a, axis=1)
+    return SearchResult(best_val=best_val, best_row=row, best_aidx=aidx,
+                        best_sidx=sidx, best_ref=ridx, best_mirror=midx)
