@@ -295,6 +295,19 @@ def main():
         except Exception as e:  # noqa: BLE001
             _warn(f"160px row failed ({type(e).__name__}: {e})")
 
+    # template-matmul engine row (the GSPMD mesh fast path,
+    # ops/template_search.py): regressions on the multi-chip sampler
+    # must be visible even though the single-chip headline is fused
+    tmpl_pps = None
+    if on_accel:
+        from cryo_ralib_tpu.ops.template_search import template_supported
+
+        if template_supported(CFG, K):
+            try:
+                tmpl_pps = _time_step(dev, N_DEV, 8, 3, "template")
+            except Exception as e:  # noqa: BLE001
+                _warn(f"template row failed ({type(e).__name__}: {e})")
+
     # headline: sustained rate where measured (per-dispatch overhead on the
     # CPU proxy is negligible, so the ratio stays apples-to-apples)
     headline_pps = sustained if sustained else accel_pps
@@ -339,6 +352,7 @@ def main():
             "mref_k32_sampler": k32_sampler,
             "mref_160px_pps": round(big_pps, 2) if big_pps else None,
             "mref_160px_sampler": big_sampler,
+            "mref_template_pps": round(tmpl_pps, 2) if tmpl_pps else None,
             "reffree_particles_per_sec": round(reffree_pps, 2),
             "reffree_sampler": reffree_sampler,
             "reffree_speedup_vs_cpu_proxy": round(reffree_pps / reffree_cpu, 2),

@@ -54,8 +54,7 @@ import jax
 import jax.numpy as jnp
 
 from .dft import irfft_mm, rfft_mm
-from .polar_mm import build_polar_tables, polar_group_mm, tent_rows, \
-    translate_bilinear_mm
+from .polar_mm import tent_rows, translate_bilinear_mm
 from .search import SearchResult, _NEG_INF
 
 # soft budget for the materialized template matrix (HBM is 16 GB on v5e;
@@ -167,59 +166,44 @@ def _col_chunk(c_total: int, ring_len: int, target: int = 2048) -> int:
 
 
 def _argmax_chunked(img_win, tm, ring_len: int):
-    """(N, Wpx) x (C, Wpx) -> per-particle (best_val, flat col index).
+    """(N, Wpx) x (C, Wpx) -> per-particle (best_val, flat col index,
+    winning (L,) angle row).
 
-    Ascending chunk order + strict '>' keeps the first-seen maximum —
-    the flat table argmax priority."""
+    Chunks are multiples of ring_len (``_col_chunk``), so the winning
+    candidate's whole angle row lives in the chunk that produced it and
+    is captured with a one-hot contraction — no separate row-recompute
+    pass.  Ascending chunk order + strict '>' keeps the first-seen
+    maximum — the flat table argmax priority."""
     n = img_win.shape[0]
     c_total = tm.shape[0]
     chunk = _col_chunk(c_total, ring_len)
     n_chunks = c_total // chunk
+    n_groups = chunk // ring_len
 
     def body(i, carry):
-        best_val, best_idx = carry
+        best_val, best_idx, best_row = carry
         cols = jax.lax.dynamic_slice(tm, (i * chunk, 0),
                                      (chunk, tm.shape[1]))
         scores = jnp.dot(img_win, cols.T,
                          preferred_element_type=jnp.float32)
         v = jnp.max(scores, axis=1)
-        a = jnp.argmax(scores, axis=1).astype(jnp.int32) + i * chunk
+        a = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        grp = a // ring_len                       # (N,) winning group
+        onehot = (jnp.arange(n_groups, dtype=jnp.int32)[None, :]
+                  == grp[:, None]).astype(scores.dtype)
+        row = jnp.einsum("ngl,ng->nl",
+                         scores.reshape(n, n_groups, ring_len), onehot)
         take = v > best_val
-        return jnp.where(take, v, best_val), jnp.where(take, a, best_idx)
+        return (jnp.where(take, v, best_val),
+                jnp.where(take, a + i * chunk, best_idx),
+                jnp.where(take[:, None], row, best_row))
 
     init = (jnp.full((n,), _NEG_INF, jnp.float32),
-            jnp.zeros((n,), jnp.int32))
+            jnp.zeros((n,), jnp.int32),
+            jnp.zeros((n, ring_len), jnp.float32))
     if n_chunks == 1:
         return body(0, init)
     return jax.lax.fori_loop(0, n_chunks, body, init)
-
-
-def _winning_rows(images, ref_fw, params, cfg, sidx, ridx, midx, tables):
-    """Recompute the winning candidate's full angle row (for prb1d and a
-    self-consistent f32 peak): one zero-shift polar sample of each
-    particle translated by its winning TOTAL shift (accumulated + grid —
-    exactly the two-stage sampling for integer grids), then the ccf row
-    against its winning reference/mirror channel."""
-    shift_grid = jnp.asarray(cfg.shifts)
-    onehot = (jnp.arange(shift_grid.shape[0], dtype=jnp.int32)[None, :]
-              == sidx[:, None]).astype(jnp.float32)
-    ds = onehot @ shift_grid                      # (N, 2)
-    img_w = translate_bilinear_mm(images, params.shift_x + ds[:, 0],
-                                  params.shift_y + ds[:, 1])
-    polar = polar_group_mm(img_w, jnp.asarray(tables.wy[0]),
-                           jnp.asarray(tables.wx[:1]),
-                           cfg.ring_num, cfg.ring_len, fast=True)[:, 0]
-    sbj_f = rfft_mm(polar)                        # (N, R, F)
-    ref_sel = jnp.take(ref_fw, ridx, axis=0)      # (N, R, F)
-    hp = jax.lax.Precision.HIGHEST
-    orig = jnp.einsum("nrf,nrf->nf", jnp.conj(sbj_f), ref_sel, precision=hp)
-    if cfg.mirror:
-        mirr = jnp.conj(jnp.einsum("nrf,nrf->nf", sbj_f, ref_sel,
-                                   precision=hp))
-        row_f = jnp.where((midx == 1)[:, None], mirr, orig)
-    else:
-        row_f = orig
-    return irfft_mm(row_f, n=cfg.ring_len)        # (N, L)
 
 
 def template_search(images, ref_fw, params, cfg, sf=None) -> SearchResult:
@@ -235,7 +219,7 @@ def template_search(images, ref_fw, params, cfg, sf=None) -> SearchResult:
     img_t = translate_bilinear_mm(images, params.shift_x, params.shift_y)
     win = img_t[:, lo:lo + width, lo:lo + width]
     win = win.reshape(images.shape[0], -1).astype(jnp.bfloat16)
-    _, idx = _argmax_chunked(win, tm, ring_len)
+    best_val, idx, row = _argmax_chunked(win, tm, ring_len)
 
     aidx = (idx % ring_len).astype(jnp.int32)
     rest = idx // ring_len
@@ -243,17 +227,5 @@ def template_search(images, ref_fw, params, cfg, sf=None) -> SearchResult:
     rest = rest // k_num
     sidx = (rest % s_num).astype(jnp.int32)
     midx = (rest // s_num).astype(jnp.int32)
-
-    # zero-shift tables for the row recompute (cached per cfg by
-    # build_polar_tables' caller pattern; cheap to rebuild — numpy)
-    import dataclasses as _dc
-
-    cfg0 = _dc.replace(cfg, shift_rng_x=0.0, shift_rng_y=0.0)
-    tables = build_polar_tables(cfg0)
-    row = _winning_rows(images, ref_fw, params, cfg, sidx, ridx, midx,
-                        tables)
-    onehot_a = (jnp.arange(ring_len, dtype=jnp.int32)[None, :]
-                == aidx[:, None]).astype(row.dtype)
-    best_val = jnp.sum(row * onehot_a, axis=1)
     return SearchResult(best_val=best_val, best_row=row, best_aidx=aidx,
                         best_sidx=sidx, best_ref=ridx, best_mirror=midx)

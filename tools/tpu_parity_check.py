@@ -1,11 +1,13 @@
-"""Hardware parity gate: fused Pallas search vs the XLA matmul path on a
-real TPU.
+"""Hardware parity gate: fused Pallas search AND the template-matmul
+engine vs the XLA matmul path on a real TPU.
 
 CI runs the fused kernels only in interpret mode (tests/test_fused.py),
 which exercises the math but not Mosaic compilation; this script is the
 on-hardware check (VERDICT r1 weak #2) that the compiled kernels decode
 the same (ref, shift, mirror, angle) winners as the XLA path — the role
-the reference fills by eyeballing class averages (SURVEY.md §4).
+the reference fills by eyeballing class averages (SURVEY.md §4).  The
+template engine (ops/template_search.py) is checked on the same cases
+where its geometry gate admits them (integer shift grids).
 
 Run from the repo root on the TPU machine (JAX_PLATFORMS=axon):
 
@@ -36,6 +38,8 @@ def main() -> int:
     from cryo_ralib_tpu.ops.fused_search import fused_search, fused_supported
     from cryo_ralib_tpu.ops.search import (decode_params, prepare_ref_spectra,
                                            rotational_shift_search_mm)
+    from cryo_ralib_tpu.ops.template_search import (template_search,
+                                                    template_supported)
     from cryo_ralib_tpu.params import AlignParams
 
     from cryo_ralib_tpu.utils.synthetic import (asymmetric_templates,
@@ -62,8 +66,15 @@ def main() -> int:
                      shift_rng_x=2.0, shift_rng_y=2.0), 4, "random"),
     ]
     for name, n, cfg, k, kind in cases:
-        if not fused_supported(cfg, k):
-            print(f"SKIP case {name}: fused_supported=False")
+        engines = []
+        if fused_supported(cfg, k):
+            engines.append(("fused",
+                            lambda i, r: fused_search(i, r, params, cfg)))
+        if template_supported(cfg, k):
+            engines.append(("template",
+                            lambda i, r: template_search(i, r, params, cfg)))
+        if not engines:
+            print(f"SKIP case {name}: no fast engine supports it")
             continue
         rng = np.random.default_rng(7)
         if kind == "structured":
@@ -81,60 +92,62 @@ def main() -> int:
                 .astype(np.float32))
         rfw = prepare_ref_spectra(refs, cfg)
         params = AlignParams.zeros(n)
-        r_fu = jax.jit(lambda i, r: fused_search(i, r, params, cfg))(imgs, rfw)
         r_mm = jax.jit(lambda i, r: rotational_shift_search_mm(
             i, r, params, cfg, fast=True))(imgs, rfw)
         # host fetch = the only reliable completion barrier on axon
-        fu = {f: np.asarray(getattr(r_fu, f)) for f in
+        mm = {f: np.asarray(getattr(r_mm, f)) for f in
               ("best_ref", "best_sidx", "best_aidx", "best_mirror",
                "best_val")}
-        mm = {f: np.asarray(getattr(r_mm, f)) for f in fu}
-        # winner tuple differs?
-        diff = np.zeros(n, bool)
-        for f in ("best_ref", "best_sidx", "best_aidx", "best_mirror"):
-            diff |= fu[f] != mm[f]
-        # tie tolerance: the fused kernel rounds the tent-matmul
-        # intermediate to bf16 (ops/fused_search.py), giving ~3e-3
-        # relative score noise, so candidates whose scores agree within
-        # that can legitimately swap places in the argmax (measured r2:
-        # swaps only at gaps <= 2e-3 relative, always within the same
-        # class)
-        scale = np.abs(mm["best_val"]).max()
-        vtol = 5e-3 * scale
-        vgap = np.abs(fu["best_val"] - mm["best_val"])
-        bad = []
-        real = diff & (vgap > vtol)
-        if real.any():
-            bad.append(f"{int(real.sum())}/{n} winners differ with score "
-                       f"gap > {vtol:.3e} (max {vgap[real].max():.3e})")
-        if diff.mean() > 0.1:
-            bad.append(f"{int(diff.sum())}/{n} winners differ (> 10%)")
-        if kind == "structured":
-            # class assignment must never flip on well-separated data,
-            # tie-swaps or not — this is what drives the drivers' output
-            nref = int((fu["best_ref"] != mm["best_ref"]).sum())
-            if nref:
-                bad.append(f"best_ref: {nref}/{n} class assignments differ "
-                           "on well-separated structured data")
-        if (vgap > vtol).any():
-            bad.append(f"best_val: max |d|={vgap.max():.3e} > {vtol:.3e}")
-        p_fu = decode_params(r_fu, params, cfg)
         p_mm = decode_params(r_mm, params, cfg)
-        d = np.abs(np.asarray(p_fu.angle) - np.asarray(p_mm.angle))
-        d = np.minimum(d, 360.0 - d)[~diff]
-        if d.size and d.max() > 0.05:
-            bad.append(f"decoded angle (same winner): max |d|={d.max():.4f}")
-        if bad:
-            failures += 1
-            print(f"FAIL case {name}:")
-            for b in bad:
-                print("   ", b)
-        else:
-            amax = d.max() if d.size else 0.0
-            print(f"PASS case {name}: {int(diff.sum())}/{n} tie-swaps "
-                  f"(all gaps <= {vtol:.1e}, class assignment identical), "
-                  f"val max|d|={vgap.max():.2e}, "
-                  f"angle max|d|={amax:.4f} deg")
+        for ename, efn in engines:
+            r_fu = jax.jit(efn)(imgs, rfw)
+            fu = {f: np.asarray(getattr(r_fu, f)) for f in mm}
+            # winner tuple differs?
+            diff = np.zeros(n, bool)
+            for f in ("best_ref", "best_sidx", "best_aidx", "best_mirror"):
+                diff |= fu[f] != mm[f]
+            # tie tolerance: both fast engines round the tent-matmul
+            # intermediate to bf16 (ops/fused_search.py,
+            # ops/template_search.py), giving ~3e-3 relative score
+            # noise, so candidates whose scores agree within that can
+            # legitimately swap places in the argmax (measured r2:
+            # swaps only at gaps <= 2e-3 relative, within the same class)
+            scale = np.abs(mm["best_val"]).max()
+            vtol = 5e-3 * scale
+            vgap = np.abs(fu["best_val"] - mm["best_val"])
+            bad = []
+            real = diff & (vgap > vtol)
+            if real.any():
+                bad.append(f"{int(real.sum())}/{n} winners differ with score "
+                           f"gap > {vtol:.3e} (max {vgap[real].max():.3e})")
+            if diff.mean() > 0.1:
+                bad.append(f"{int(diff.sum())}/{n} winners differ (> 10%)")
+            if kind == "structured":
+                # class assignment must never flip on well-separated data,
+                # tie-swaps or not — this is what drives the drivers' output
+                nref = int((fu["best_ref"] != mm["best_ref"]).sum())
+                if nref:
+                    bad.append(f"best_ref: {nref}/{n} class assignments "
+                               "differ on well-separated structured data")
+            if (vgap > vtol).any():
+                bad.append(f"best_val: max |d|={vgap.max():.3e} > {vtol:.3e}")
+            p_fu = decode_params(r_fu, params, cfg)
+            d = np.abs(np.asarray(p_fu.angle) - np.asarray(p_mm.angle))
+            d = np.minimum(d, 360.0 - d)[~diff]
+            if d.size and d.max() > 0.05:
+                bad.append(f"decoded angle (same winner): "
+                           f"max |d|={d.max():.4f}")
+            if bad:
+                failures += 1
+                print(f"FAIL case {name} [{ename}]:")
+                for b in bad:
+                    print("   ", b)
+            else:
+                amax = d.max() if d.size else 0.0
+                print(f"PASS case {name} [{ename}]: {int(diff.sum())}/{n} "
+                      f"tie-swaps (all gaps <= {vtol:.1e}, class assignment "
+                      f"identical), val max|d|={vgap.max():.2e}, "
+                      f"angle max|d|={amax:.4f} deg")
 
     if failures:
         print(f"RESULT: FAIL ({failures} case(s))")
