@@ -93,6 +93,22 @@ out3 = step_sm(put(data, shard_sm),
 rid3 = np.asarray(multihost_utils.process_allgather(out3.params.ref_id,
                                                     tiled=True))
 
+# GSPMD + template sampler: the multi-chip fast path a TPU mesh actually
+# runs (pure dot_general partitions over 'dp'; auto picks it on
+# integer-grid TPU meshes — ops/template_search.py)
+mesh_tm = make_mesh()
+shard_tm = NamedSharding(mesh_tm, P("dp"))
+step_tm = make_align_step(cfg, k, update_ref=True, mesh=mesh_tm,
+                          sampler="template", dist="gspmd", donate=False)
+out4 = step_tm(put(data, shard_tm),
+               put(base, NamedSharding(mesh_tm, P())),
+               AlignParams(*(put(np.asarray(x), shard_tm)
+                             for x in AlignParams.zeros(n))),
+               put(np.arange(n, dtype=np.int32), shard_tm),
+               put(np.ones(n, np.float32), shard_tm))
+rid4 = np.asarray(multihost_utils.process_allgather(out4.params.ref_id,
+                                                    tiled=True))
+
 if pid == 0:
     np.savez(os.path.join(outdir, "out.npz"),
              class_sums=np.asarray(out1.class_sums),
@@ -103,7 +119,9 @@ if pid == 0:
              counts2=np.asarray(out2.counts),
              ref_id2=rid2,
              counts3=np.asarray(out3.counts),
-             ref_id3=rid3)
+             ref_id3=rid3,
+             counts4=np.asarray(out4.counts),
+             ref_id4=rid4)
 jax.distributed.shutdown()
 """
 
@@ -175,6 +193,10 @@ def test_two_process_step_matches_single(tmp_path):
     # class-template stack is well separated)
     np.testing.assert_array_equal(got["counts3"], np.asarray(exp.counts))
     np.testing.assert_array_equal(got["ref_id3"],
+                                  np.asarray(exp.params.ref_id))
+    # GSPMD + template engine across processes: same assignments
+    np.testing.assert_array_equal(got["counts4"], np.asarray(exp.counts))
+    np.testing.assert_array_equal(got["ref_id4"],
                                   np.asarray(exp.params.ref_id))
     np.testing.assert_allclose(
         got["class_sums"], np.asarray(exp.class_sums),
