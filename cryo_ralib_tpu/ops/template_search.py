@@ -41,12 +41,22 @@ spectra this needs; SF is the rfft-over-t of the splat tensor
 ``Wy0[q,h] * Wx0[q,w]``.)  The normalized inverse DFT of ``ccf_rows``
 cancels the unnormalized forward, so no extra scale appears.
 
+Fractional shift grids (e.g. ``--ts=0.5``): every grid shift is
+floor-decomposed into an integer pixel roll plus a sub-pixel remainder;
+shifts sharing a remainder share one splat-spectra build with the tents
+evaluated at ``coords + frac`` — the same tent algebra the matmul
+sampler's per-shift tables use (ops/polar_mm.py:103-109), so the table
+stays exact.  The gate caps the number of unique remainders at
+``MAX_FRAC_GROUPS``.
+
 Reference being replaced: the ``mref_align_run`` hot loop
 (cuda/gpu_aln_noref.cu:389-416) — resample + FFT + ccf + argmax over
 the CcfResultTable — collapsed into matmul + online argmax.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 
@@ -60,6 +70,44 @@ from .search import SearchResult, _NEG_INF
 # soft budget for the materialized template matrix (HBM is 16 GB on v5e;
 # the search itself streams it, so this only bounds residency)
 TEMPLATE_MATRIX_BUDGET_BYTES = 6 << 30
+
+# fractional shift grids: each unique fractional (fy, fx) remainder needs
+# its own splat-spectra build per iteration (~30 GFLOP each — small next
+# to the search matmul, but capped so a pathological grid can't turn the
+# template build into the hot loop).  ts=0.5 grids need 4 groups,
+# ts=0.25 sixteen.
+MAX_FRAC_GROUPS = 16
+
+
+def _split_shift(v: float) -> tuple[int, float]:
+    """Floor-decompose a grid shift into (integer pixel roll, fractional
+    tent remainder in [0, 1)), absorbing float fuzz at the boundary."""
+    i = math.floor(v)
+    f = v - i
+    if f > 1.0 - 1e-9:
+        i += 1
+        f = 0.0
+    return int(i), float(f)
+
+
+def _frac_groups(cfg):
+    """Group the x-major shift grid by fractional remainder.
+
+    Returns (groups, decomp): ``groups`` maps a rounded (fy, fx) key to a
+    representative exact (fy, fx); ``decomp`` lists, in the flat-table
+    x-major shift order (config.shifts), each shift's
+    (iy, ix, group key).  Integer grids produce the single group (0, 0).
+    """
+    groups: dict = {}
+    decomp = []
+    for dx in cfg.shift_x_vals:
+        for dy in cfg.shift_y_vals:
+            iy, fy = _split_shift(float(dy))
+            ix, fx = _split_shift(float(dx))
+            key = (round(fy, 6), round(fx, 6))
+            groups.setdefault(key, (fy, fx))
+            decomp.append((iy, ix, key))
+    return groups, decomp
 
 
 def template_geometry(cfg):
@@ -76,12 +124,14 @@ def template_geometry(cfg):
 def template_supported(cfg, n_classes: int) -> bool:
     """Geometry gate for the template engine.
 
-    Requires an integer shift grid (template shifting is a pixel roll),
-    the sampling window inside the image, and a template matrix within
-    the HBM budget.  Any ``img_dim``/``ring_len`` is fine otherwise.
+    Requires the sampling window inside the image, a template matrix
+    within the HBM budget, and — for fractional shift grids — at most
+    ``MAX_FRAC_GROUPS`` unique fractional remainders (each one is a
+    separate per-iteration splat-spectra build).  Any
+    ``img_dim``/``ring_len``/K is fine otherwise.
     """
-    sx, sy = cfg.shift_x_vals, cfg.shift_y_vals
-    if not (np.allclose(sx, np.round(sx)) and np.allclose(sy, np.round(sy))):
+    groups, _ = _frac_groups(cfg)
+    if len(groups) > MAX_FRAC_GROUPS:
         return False
     lo, width, _ = template_geometry(cfg)
     if lo < 0 or lo + width > cfg.img_dim:
@@ -92,24 +142,27 @@ def template_supported(cfg, n_classes: int) -> bool:
     return tm_bytes <= TEMPLATE_MATRIX_BUDGET_BYTES
 
 
-def _base_tents(cfg, lo, width):
-    """Zero-shift window tent matrices (Q, width) x2 — numpy constants."""
+def _base_tents(cfg, lo, width, frac=(0.0, 0.0)):
+    """Window tent matrices (Q, width) x2 at a fractional shift offset —
+    numpy constants.  ``frac=(fy, fx)`` shifts every ring sample point by
+    the sub-pixel remainder; the integer part of a grid shift is applied
+    later as a pad+slice pixel roll of the finished template."""
     coords = cfg.polar_coords
     c = cfg.img_dim // 2
-    wy = tent_rows(c - lo + coords[..., 1].reshape(-1), width)
-    wx = tent_rows(c - lo + coords[..., 0].reshape(-1), width)
+    wy = tent_rows(c - lo + coords[..., 1].reshape(-1) + frac[0], width)
+    wx = tent_rows(c - lo + coords[..., 0].reshape(-1) + frac[1], width)
     return wy, wx
 
 
-def splat_spectra(cfg):
+def splat_spectra(cfg, frac=(0.0, 0.0)):
     """(R, F, Wpx) complex64 rfft-over-t spectra of the splat tensor.
 
-    Jittable; depends only on cfg.  Computed inside the step (the
+    Jittable; depends only on (cfg, frac).  Computed inside the step (the
     materialized array is ~250 MB for the 90 px config — too large to
     bake into the program as a constant, cheap to rebuild on device).
     """
     lo, width, _ = template_geometry(cfg)
-    wy, wx = _base_tents(cfg, lo, width)
+    wy, wx = _base_tents(cfg, lo, width, frac)
     splat = jnp.einsum("qh,qw->qhw", jnp.asarray(wy), jnp.asarray(wx))
     splat = splat.reshape(cfg.ring_num, cfg.ring_len, width * width)
     sf = rfft_mm(splat.transpose(0, 2, 1))        # (R, Wpx, F)
@@ -125,32 +178,37 @@ def build_template_matrix(ref_fw, cfg, sf=None):
     """
     ring_len = cfg.ring_len
     k_num = ref_fw.shape[0]
+    n_chan = 2 if cfg.mirror else 1
     lo, width, pad = template_geometry(cfg)
-    if sf is None:
-        sf = splat_spectra(cfg)
-    g = jnp.einsum("krf,rfp->kpf", ref_fw, jnp.conj(sf))
-    tbo = irfft_mm(g, n=ring_len)                 # (K, Wpx, L)
-    chans = [tbo]
-    if cfg.mirror:
-        h = jnp.einsum("krf,rfp->kpf", ref_fw, sf)
-        tbm = irfft_mm(h, n=ring_len)
-        # angle index reversal (-l % L) = flip + roll (copies, no gather)
-        chans.append(jnp.roll(jnp.flip(tbm, axis=-1), 1, axis=-1))
-    tb = jnp.stack(chans).transpose(0, 1, 3, 2)   # (M, K, L, Wpx)
-    tb = tb.reshape(len(chans), k_num, ring_len, width, width)
-    tb = tb.astype(jnp.bfloat16)
-    tbp = jnp.pad(tb, ((0, 0), (0, 0), (0, 0), (pad, pad), (pad, pad)))
+    groups, decomp = _frac_groups(cfg)
+    # one padded template block per fractional group (integer grids: one)
+    tbp = {}
+    for key, frac in groups.items():
+        sf_g = sf if (sf is not None and len(groups) == 1) else \
+            splat_spectra(cfg, frac=frac)
+        g = jnp.einsum("krf,rfp->kpf", ref_fw, jnp.conj(sf_g))
+        tbo = irfft_mm(g, n=ring_len)             # (K, Wpx, L)
+        chans = [tbo]
+        if cfg.mirror:
+            h = jnp.einsum("krf,rfp->kpf", ref_fw, sf_g)
+            tbm = irfft_mm(h, n=ring_len)
+            # angle index reversal (-l % L) = flip + roll (no gather)
+            chans.append(jnp.roll(jnp.flip(tbm, axis=-1), 1, axis=-1))
+        tb = jnp.stack(chans).transpose(0, 1, 3, 2)   # (M, K, L, Wpx)
+        tb = tb.reshape(n_chan, k_num, ring_len, width, width)
+        tb = tb.astype(jnp.bfloat16)
+        tbp[key] = jnp.pad(tb, ((0, 0), (0, 0), (0, 0), (pad, pad),
+                                (pad, pad)))
     slabs = []
-    # x-major shift order: sidx = xi * n_dy + yi (config.shifts)
-    for dx in cfg.shift_x_vals:
-        for dy in cfg.shift_y_vals:
-            dyi, dxi = int(round(float(dy))), int(round(float(dx)))
-            slabs.append(jax.lax.slice(
-                tbp, (0, 0, 0, pad - dyi, pad - dxi),
-                (len(chans), k_num, ring_len, pad - dyi + width,
-                 pad - dxi + width)))
+    # x-major shift order: sidx = xi * n_dy + yi (config.shifts); the
+    # integer part of each shift is a pixel roll of its group's block
+    for dyi, dxi, key in decomp:
+        slabs.append(jax.lax.slice(
+            tbp[key], (0, 0, 0, pad - dyi, pad - dxi),
+            (n_chan, k_num, ring_len, pad - dyi + width,
+             pad - dxi + width)))
     tm = jnp.stack(slabs, axis=1)                 # (M, S, K, L, w, w)
-    return tm.reshape(len(chans) * len(slabs) * k_num * ring_len,
+    return tm.reshape(n_chan * len(slabs) * k_num * ring_len,
                       width * width)
 
 

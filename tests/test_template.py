@@ -48,8 +48,12 @@ def refs():
 
 def test_template_supported_gates():
     assert template_supported(_cfg(), K)
-    # fractional shift grid: template shifting is a pixel roll -> reject
-    assert not template_supported(_cfg(shift_step=0.5), K)
+    # fractional grids run via per-remainder splat groups (ts=0.5 -> 4)
+    assert template_supported(_cfg(shift_step=0.5), K)
+    # but a grid with too many unique remainders is rejected
+    # (ts=0.1 -> 10x10 = 100 groups > MAX_FRAC_GROUPS)
+    assert not template_supported(
+        _cfg(shift_step=0.1, shift_rng_x=0.5, shift_rng_y=0.5), K)
     # window exceeding the image edge -> reject (ring 29 + shift 2 + 1)
     assert not template_supported(_cfg(ring_num=29), K)
 
@@ -75,10 +79,14 @@ def test_template_matrix_columns_match_ccf_rows(stack, refs):
                        atol=5e-3 * np.abs(row_ref).max())
 
 
-@pytest.mark.parametrize("mode,mirror", [("F", True), ("F", False),
-                                         ("H", True)])
-def test_template_matches_matmul_sampler(stack, refs, mode, mirror):
-    cfg = _cfg(mode=mode, mirror=mirror)
+@pytest.mark.parametrize("mode,mirror,step", [("F", True, 1.0),
+                                              ("F", False, 1.0),
+                                              ("H", True, 1.0),
+                                              ("F", True, 0.5)])
+def test_template_matches_matmul_sampler(stack, refs, mode, mirror, step):
+    # step=0.5 is the fractional-grid path: four splat groups, the same
+    # tent algebra as the matmul sampler's per-shift tables
+    cfg = _cfg(mode=mode, mirror=mirror, shift_step=step)
     params = AlignParams.zeros(stack.shape[0])
     ref_fw = prepare_ref_spectra(jnp.asarray(refs), cfg)
     res_t = template_search(jnp.asarray(stack), ref_fw, params, cfg)

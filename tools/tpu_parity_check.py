@@ -7,7 +7,8 @@ on-hardware check (VERDICT r1 weak #2) that the compiled kernels decode
 the same (ref, shift, mirror, angle) winners as the XLA path — the role
 the reference fills by eyeballing class averages (SURVEY.md §4).  The
 template engine (ops/template_search.py) is checked on the same cases
-where its geometry gate admits them (integer shift grids).
+where its geometry gate admits them (window inside the image, bounded
+fractional-remainder group count).
 
 Run from the repo root on the TPU machine (JAX_PLATFORMS=axon):
 
