@@ -40,6 +40,12 @@ def _loop(images, avg0, params: AlignParams, gidx, valid, cutoffs, falloffs,
           cfg: AlignConfig, *, n_iter: int, sampler: str, fast: bool,
           shift_chunk: int):
     n_total = jnp.sum(valid)
+    # splat spectra depend only on cfg — computed once, loop-invariant
+    sf = None
+    if sampler == "template":
+        from ..ops.template_search import splat_spectra
+
+        sf = splat_spectra(cfg)
 
     def body(i, state):
         params, avg = state
@@ -49,6 +55,10 @@ def _loop(images, avg0, params: AlignParams, gidx, valid, cutoffs, falloffs,
             from ..ops.fused_search import fused_search
 
             res = fused_search(images, ref_fw, params, cfg)
+        elif sampler == "template":
+            from ..ops.template_search import template_search
+
+            res = template_search(images, ref_fw, params, cfg, sf=sf)
         elif sampler == "matmul":
             res = rotational_shift_search_mm(images, ref_fw, params, cfg,
                                              fast=fast)
@@ -56,7 +66,7 @@ def _loop(images, avg0, params: AlignParams, gidx, valid, cutoffs, falloffs,
             res = rotational_shift_search(images, ref_fw, params, cfg,
                                           shift_chunk=shift_chunk)
         params = decode_params(res, params, cfg, update_ref=False)
-        if sampler in ("matmul", "fused"):
+        if sampler in ("matmul", "fused", "template"):
             sums, _ = class_sum_transform_mm(images, params, 1,
                                              global_index=gidx, valid=valid,
                                              fast=fast)
@@ -88,10 +98,16 @@ def make_device_loop(cfg: AlignConfig, n_iter: int, cutoffs, falloffs=None,
     if sampler == "auto":
         if jax.default_backend() == "tpu" and mesh is None:
             from ..ops.fused_search import fused_supported
+            from ..ops.template_search import template_supported
 
-            sampler = "fused" if fused_supported(cfg, 1) else "matmul"
+            sampler = ("fused" if fused_supported(cfg, 1)
+                       else "template" if template_supported(cfg, 1)
+                       else "matmul")
         elif jax.default_backend() == "tpu":
-            sampler = "matmul"
+            from ..ops.template_search import template_supported
+
+            sampler = ("template" if template_supported(cfg, 1)
+                       else "matmul")
         else:
             sampler = "gather"
     cutoffs = np.asarray(cutoffs, np.float32)
@@ -124,6 +140,13 @@ def make_device_loop(cfg: AlignConfig, n_iter: int, cutoffs, falloffs=None,
 def _mref_loop(images, refs0, params: AlignParams, gidx, valid, cutoffs,
                falloffs, cfg: AlignConfig, *, n_iter: int, n_classes: int,
                sampler: str, fast: bool, shift_chunk: int):
+    # splat spectra depend only on cfg — computed once, loop-invariant
+    sf = None
+    if sampler == "template":
+        from ..ops.template_search import splat_spectra
+
+        sf = splat_spectra(cfg)
+
     def body(i, state):
         params, refs = state
         refs_f = filt_tanl_dyn(refs, cutoffs[i], falloffs[i])
@@ -132,6 +155,10 @@ def _mref_loop(images, refs0, params: AlignParams, gidx, valid, cutoffs,
             from ..ops.fused_search import fused_search
 
             res = fused_search(images, ref_fw, params, cfg)
+        elif sampler == "template":
+            from ..ops.template_search import template_search
+
+            res = template_search(images, ref_fw, params, cfg, sf=sf)
         elif sampler == "matmul":
             res = rotational_shift_search_mm(images, ref_fw, params, cfg,
                                              fast=fast)
@@ -139,7 +166,7 @@ def _mref_loop(images, refs0, params: AlignParams, gidx, valid, cutoffs,
             res = rotational_shift_search(images, ref_fw, params, cfg,
                                           shift_chunk=shift_chunk)
         params = decode_params(res, params, cfg, update_ref=True)
-        if sampler in ("matmul", "fused"):
+        if sampler in ("matmul", "fused", "template"):
             sums, counts = class_sum_transform_mm(
                 images, params, n_classes, global_index=gidx, valid=valid,
                 fast=fast)
@@ -173,11 +200,16 @@ def make_mref_device_loop(cfg: AlignConfig, n_iter: int, n_classes: int,
     if sampler == "auto":
         if jax.default_backend() == "tpu" and mesh is None:
             from ..ops.fused_search import fused_supported
+            from ..ops.template_search import template_supported
 
             sampler = ("fused" if fused_supported(cfg, n_classes)
+                       else "template" if template_supported(cfg, n_classes)
                        else "matmul")
         elif jax.default_backend() == "tpu":
-            sampler = "matmul"
+            from ..ops.template_search import template_supported
+
+            sampler = ("template" if template_supported(cfg, n_classes)
+                       else "matmul")
         else:
             sampler = "gather"
     cutoffs = np.asarray(cutoffs, np.float32)

@@ -107,7 +107,7 @@ def test_device_loop_sharded(rng):
                                atol=2e-4 * np.abs(np.asarray(a1)).max())
 
 
-@pytest.mark.parametrize("sampler", ["gather", "matmul"])
+@pytest.mark.parametrize("sampler", ["gather", "matmul", "template"])
 def test_mref_device_loop_one_iter_matches_step(rng, sampler):
     from cryo_ralib_tpu.models.device_loop import make_mref_device_loop
     from cryo_ralib_tpu.models.steps import align_step
