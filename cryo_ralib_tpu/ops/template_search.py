@@ -121,11 +121,21 @@ def template_geometry(cfg):
     return c - rad, 2 * rad + 1, pad
 
 
+def _template_matrix_bytes(cfg, n_classes: int) -> int:
+    """Bytes of the fully materialized (C, Wpx) bf16 template matrix."""
+    _, width, _ = template_geometry(cfg)
+    n_mirror = 2 if cfg.mirror else 1
+    return (n_mirror * cfg.n_shifts * n_classes * cfg.ring_len
+            * width * width * 2)
+
+
 def template_supported(cfg, n_classes: int) -> bool:
     """Geometry gate for the template engine.
 
-    Requires the sampling window inside the image, a template matrix
-    within the HBM budget, and — for fractional shift grids — at most
+    Requires the sampling window inside the image, the padded template
+    blocks within the HBM budget (the search streams column chunks from
+    the blocks when the full matrix would not fit — ``template_search``
+    picks per config), and — for fractional shift grids — at most
     ``MAX_FRAC_GROUPS`` unique fractional remainders (each one is a
     separate per-iteration splat-spectra build).  Any
     ``img_dim``/``ring_len``/K is fine otherwise.
@@ -133,13 +143,13 @@ def template_supported(cfg, n_classes: int) -> bool:
     groups, _ = _frac_groups(cfg)
     if len(groups) > MAX_FRAC_GROUPS:
         return False
-    lo, width, _ = template_geometry(cfg)
+    lo, width, pad = template_geometry(cfg)
     if lo < 0 or lo + width > cfg.img_dim:
         return False
     n_mirror = 2 if cfg.mirror else 1
-    tm_bytes = (n_mirror * cfg.n_shifts * n_classes * cfg.ring_len
-                * width * width * 2)
-    return tm_bytes <= TEMPLATE_MATRIX_BUDGET_BYTES
+    blocks_bytes = (len(groups) * n_mirror * n_classes * cfg.ring_len
+                    * (width + 2 * pad) ** 2 * 2)
+    return blocks_bytes <= TEMPLATE_MATRIX_BUDGET_BYTES
 
 
 def _base_tents(cfg, lo, width, frac=(0.0, 0.0)):
@@ -169,12 +179,15 @@ def splat_spectra(cfg, frac=(0.0, 0.0)):
     return sf.transpose(0, 2, 1)                  # (R, F, Wpx)
 
 
-def build_template_matrix(ref_fw, cfg, sf=None):
-    """Weighted ring spectra (K, R, F) -> (C, Wpx) bf16 template matrix.
+def build_template_blocks(ref_fw, cfg, sf=None):
+    """Weighted ring spectra (K, R, F) -> padded per-frac template blocks.
 
-    Column order [mirror][shift][ref][angle] — the reference table's
-    flat priority order (cuda/gpu_aln_noref.cu:2172-2178).  Jittable;
-    rebuilt every iteration (refs change).
+    Returns ``(tbps, fids, oys, oxs)``: ``tbps`` is the
+    (Fg, M, K, L, wp, wp) bf16 stack of padded template blocks (one per
+    fractional-remainder group; Fg=1 for integer grids), and the (S,)
+    int32 lookup tables give, per x-major grid shift, its block id and
+    the (y, x) slice origins that realize the shift's integer pixel
+    roll.  Jittable; rebuilt every iteration (refs change).
     """
     ring_len = cfg.ring_len
     k_num = ref_fw.shape[0]
@@ -182,8 +195,10 @@ def build_template_matrix(ref_fw, cfg, sf=None):
     lo, width, pad = template_geometry(cfg)
     groups, decomp = _frac_groups(cfg)
     # one padded template block per fractional group (integer grids: one)
-    tbp = {}
-    for key, frac in groups.items():
+    order = list(groups)
+    blocks = []
+    for key in order:
+        frac = groups[key]
         sf_g = sf if (sf is not None and len(groups) == 1) else \
             splat_spectra(cfg, frac=frac)
         g = jnp.einsum("krf,rfp->kpf", ref_fw, jnp.conj(sf_g))
@@ -197,24 +212,50 @@ def build_template_matrix(ref_fw, cfg, sf=None):
         tb = jnp.stack(chans).transpose(0, 1, 3, 2)   # (M, K, L, Wpx)
         tb = tb.reshape(n_chan, k_num, ring_len, width, width)
         tb = tb.astype(jnp.bfloat16)
-        tbp[key] = jnp.pad(tb, ((0, 0), (0, 0), (0, 0), (pad, pad),
-                                (pad, pad)))
+        blocks.append(jnp.pad(tb, ((0, 0), (0, 0), (0, 0), (pad, pad),
+                                   (pad, pad))))
+    tbps = jnp.stack(blocks)                      # (Fg, M, K, L, wp, wp)
+    gid = {key: i for i, key in enumerate(order)}
+    fids = np.asarray([gid[key] for _, _, key in decomp], np.int32)
+    oys = np.asarray([pad - iy for iy, _, _ in decomp], np.int32)
+    oxs = np.asarray([pad - ix for _, ix, _ in decomp], np.int32)
+    return tbps, fids, oys, oxs
+
+
+def build_template_matrix(ref_fw, cfg, sf=None):
+    """Weighted ring spectra (K, R, F) -> (C, Wpx) bf16 template matrix.
+
+    Column order [mirror][shift][ref][angle] — the reference table's
+    flat priority order (cuda/gpu_aln_noref.cu:2172-2178).  Jittable;
+    rebuilt every iteration (refs change).
+    """
+    ring_len = cfg.ring_len
+    k_num = ref_fw.shape[0]
+    n_chan = 2 if cfg.mirror else 1
+    _, width, _ = template_geometry(cfg)
+    tbps, fids, oys, oxs = build_template_blocks(ref_fw, cfg, sf=sf)
     slabs = []
     # x-major shift order: sidx = xi * n_dy + yi (config.shifts); the
     # integer part of each shift is a pixel roll of its group's block
-    for dyi, dxi, key in decomp:
+    for s in range(len(fids)):
         slabs.append(jax.lax.slice(
-            tbp[key], (0, 0, 0, pad - dyi, pad - dxi),
-            (n_chan, k_num, ring_len, pad - dyi + width,
-             pad - dxi + width)))
+            tbps[fids[s]], (0, 0, 0, int(oys[s]), int(oxs[s])),
+            (n_chan, k_num, ring_len, int(oys[s]) + width,
+             int(oxs[s]) + width)))
     tm = jnp.stack(slabs, axis=1)                 # (M, S, K, L, w, w)
     return tm.reshape(n_chan * len(slabs) * k_num * ring_len,
                       width * width)
 
 
-def _col_chunk(c_total: int, ring_len: int, target: int = 2048) -> int:
+# measured fastest on v5e (tools/template_ablate.py tunes this)
+COL_CHUNK_TARGET = 2048
+
+
+def _col_chunk(c_total: int, ring_len: int, target: int | None = None) -> int:
     """Largest divisor of c_total that is a multiple of ring_len and
     <= target (2048-column chunks measured fastest on v5e)."""
+    if target is None:
+        target = COL_CHUNK_TARGET
     groups = c_total // ring_len
     best = ring_len
     for g in range(1, groups + 1):
@@ -223,9 +264,10 @@ def _col_chunk(c_total: int, ring_len: int, target: int = 2048) -> int:
     return best
 
 
-def _argmax_chunked(img_win, tm, ring_len: int):
-    """(N, Wpx) x (C, Wpx) -> per-particle (best_val, flat col index,
-    winning (L,) angle row).
+def _online_argmax(img_win, cols_fn, c_total: int, chunk: int,
+                   ring_len: int):
+    """(N, Wpx) x columns streamed by ``cols_fn(i) -> (chunk, Wpx)`` ->
+    per-particle (best_val, flat col index, winning (L,) angle row).
 
     Chunks are multiples of ring_len (``_col_chunk``), so the winning
     candidate's whole angle row lives in the chunk that produced it and
@@ -233,15 +275,12 @@ def _argmax_chunked(img_win, tm, ring_len: int):
     pass.  Ascending chunk order + strict '>' keeps the first-seen
     maximum — the flat table argmax priority."""
     n = img_win.shape[0]
-    c_total = tm.shape[0]
-    chunk = _col_chunk(c_total, ring_len)
     n_chunks = c_total // chunk
     n_groups = chunk // ring_len
 
     def body(i, carry):
         best_val, best_idx, best_row = carry
-        cols = jax.lax.dynamic_slice(tm, (i * chunk, 0),
-                                     (chunk, tm.shape[1]))
+        cols = cols_fn(i)
         scores = jnp.dot(img_win, cols.T,
                          preferred_element_type=jnp.float32)
         v = jnp.max(scores, axis=1)
@@ -264,20 +303,84 @@ def _argmax_chunked(img_win, tm, ring_len: int):
     return jax.lax.fori_loop(0, n_chunks, body, init)
 
 
-def template_search(images, ref_fw, params, cfg, sf=None) -> SearchResult:
+def _argmax_chunked(img_win, tm, ring_len: int):
+    """Online argmax over a materialized (C, Wpx) template matrix."""
+    c_total = tm.shape[0]
+    chunk = _col_chunk(c_total, ring_len)
+
+    def cols_fn(i):
+        return jax.lax.dynamic_slice(tm, (i * chunk, 0),
+                                     (chunk, tm.shape[1]))
+
+    return _online_argmax(img_win, cols_fn, c_total, chunk, ring_len)
+
+
+def _argmax_streamed(img_win, tbps, fids, oys, oxs, cfg, k_num: int):
+    """Online argmax with column chunks built on the fly from the padded
+    template blocks — the full (C, Wpx) matrix never materializes in
+    HBM (21 GB at K=64/90 px vs a ~500 MB block stack), lifting the
+    residency gate for large K.  Each chunk group's (m, s, k) decomposes
+    from its flat index; the shift's integer roll becomes a traced
+    dynamic_slice origin from the per-shift lookup tables.  The sliced
+    columns are bit-identical to the materialized matrix (both are the
+    same slices of the same blocks)."""
+    ring_len = cfg.ring_len
+    n_chan = 2 if cfg.mirror else 1
+    s_num = cfg.n_shifts
+    _, width, _ = template_geometry(cfg)
+    c_total = n_chan * s_num * k_num * ring_len
+    chunk = _col_chunk(c_total, ring_len)
+    n_groups = chunk // ring_len
+    fids_d = jnp.asarray(fids)
+    oys_d = jnp.asarray(oys)
+    oxs_d = jnp.asarray(oxs)
+
+    def cols_fn(i):
+        parts = []
+        for j in range(n_groups):
+            g = i * n_groups + j                  # flat (m, s, k) group
+            m = g // (s_num * k_num)
+            rem = g % (s_num * k_num)
+            s = rem // k_num
+            k = rem % k_num
+            blk = jax.lax.dynamic_slice(
+                tbps, (jnp.take(fids_d, s), m, k, 0,
+                       jnp.take(oys_d, s), jnp.take(oxs_d, s)),
+                (1, 1, 1, ring_len, width, width))
+            parts.append(blk.reshape(ring_len, width * width))
+        return jnp.concatenate(parts, axis=0)
+
+    return _online_argmax(img_win, cols_fn, c_total, chunk, ring_len)
+
+
+def template_search(images, ref_fw, params, cfg, sf=None,
+                    stream: bool | None = None) -> SearchResult:
     """Full (mirror x shift x ref x angle) search via the template
     matmul.  Drop-in replacement for ``rotational_shift_search_mm``
-    (same SearchResult contract, same priority order)."""
+    (same SearchResult contract, same priority order).
+
+    ``stream=None`` materializes the (C, Wpx) template matrix when it
+    fits the HBM budget and streams column chunks straight from the
+    padded template blocks otherwise (large K) — both produce
+    bit-identical scores."""
     ring_len = cfg.ring_len
     k_num = ref_fw.shape[0]
     s_num = cfg.n_shifts
     lo, width, _ = template_geometry(cfg)
+    if stream is None:
+        stream = (_template_matrix_bytes(cfg, k_num)
+                  > TEMPLATE_MATRIX_BUDGET_BYTES)
 
-    tm = build_template_matrix(ref_fw, cfg, sf=sf)
     img_t = translate_bilinear_mm(images, params.shift_x, params.shift_y)
     win = img_t[:, lo:lo + width, lo:lo + width]
     win = win.reshape(images.shape[0], -1).astype(jnp.bfloat16)
-    best_val, idx, row = _argmax_chunked(win, tm, ring_len)
+    if stream:
+        tbps, fids, oys, oxs = build_template_blocks(ref_fw, cfg, sf=sf)
+        best_val, idx, row = _argmax_streamed(win, tbps, fids, oys, oxs,
+                                              cfg, k_num)
+    else:
+        tm = build_template_matrix(ref_fw, cfg, sf=sf)
+        best_val, idx, row = _argmax_chunked(win, tm, ring_len)
 
     aidx = (idx % ring_len).astype(jnp.int32)
     rest = idx // ring_len

@@ -137,6 +137,35 @@ def test_template_accumulated_fractional_shifts(stack, refs):
     assert agree >= n - 1  # allow one bf16 tie swap
 
 
+def test_template_streamed_matches_materialized(stack, refs):
+    """The streamed search (column chunks built on the fly from the
+    padded template blocks, no materialized matrix) is bit-identical to
+    the materialized path — both slice the same blocks."""
+    cfg = _cfg(shift_step=0.5)  # fractional: exercises multi-block lookup
+    params = AlignParams.zeros(stack.shape[0])
+    ref_fw = prepare_ref_spectra(jnp.asarray(refs), cfg)
+    res_m = template_search(jnp.asarray(stack), ref_fw, params, cfg,
+                            stream=False)
+    res_s = template_search(jnp.asarray(stack), ref_fw, params, cfg,
+                            stream=True)
+    for f in ("best_val", "best_row", "best_aidx", "best_sidx",
+              "best_ref", "best_mirror"):
+        np.testing.assert_array_equal(np.asarray(getattr(res_m, f)),
+                                      np.asarray(getattr(res_s, f)), f)
+
+
+def test_template_large_k_streams():
+    """A K large enough that the materialized matrix exceeds the HBM
+    budget still passes the gate (the blocks fit; the search streams)."""
+    from cryo_ralib_tpu.ops.template_search import (
+        TEMPLATE_MATRIX_BUDGET_BYTES, _template_matrix_bytes)
+
+    cfg = _cfg()
+    big_k = 256
+    assert _template_matrix_bytes(cfg, big_k) > TEMPLATE_MATRIX_BUDGET_BYTES
+    assert template_supported(cfg, big_k)
+
+
 def test_template_recovers_known_transforms(refs):
     """Structured stack (rotated/shifted/mirrored copies of the refs):
     the template engine recovers class, mirror and pose like the exact

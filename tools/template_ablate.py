@@ -1,0 +1,129 @@
+"""Stage-timing benchmark for the template-matmul search engine.
+
+Times `template_search` (ops/template_search.py) end to end and its
+stages in isolation, to rank bottlenecks before touching the engine —
+the same measure-first protocol as tools/fused_ablate.py.  The search
+matmul is ~2.6 GFLOP/particle of pure bf16 `dot_general`
+(prototype-measured 155 ms / 8192 particles = ~71% of v5e bf16 peak),
+so the interesting questions are (a) how much the template build, the
+pre-translate and the argmax/row-capture add on top, and (b) whether a
+different column-chunk size moves the matmul closer to peak.
+
+Not a test.  Run on the TPU machine:
+
+    timeout 560 python tools/template_ablate.py [stages...]
+
+Stages:
+  full        template_search end to end (the production path)
+  full_stream template_search with stream=True (no materialized matrix
+              — the large-K path; compare against full to decide the
+              auto-stream threshold)
+  build       build_template_matrix only (refs -> (C, Wpx) bf16)
+  sf          splat_spectra only (cfg-static; loops hoist it)
+  translate   pre-translate + window + bf16 cast of the stack
+  search      _argmax_chunked on device-resident (win, tm) — the
+              matmul+argmax+row-capture block alone
+  search_cN   same with COL_CHUNK_TARGET=N (e.g. search_c1024,
+              search_c4096, search_c8192) to tune the chunk size
+
+Every timing uses a host fetch as the completion barrier
+(jax.block_until_ready does not block on the axon transport) and
+includes the ~44 ms tunnel dispatch cost; compare stages to each
+other, not to zero.
+"""
+
+import importlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cryo_ralib_tpu.config import AlignConfig
+from cryo_ralib_tpu.ops.search import prepare_ref_spectra
+from cryo_ralib_tpu.params import AlignParams
+
+ts = importlib.import_module("cryo_ralib_tpu.ops.template_search")
+
+NX, K, N = 90, 8, 8192
+cfg = AlignConfig(img_dim=NX, ring_num=36, ring_len=256, shift_step=1.0,
+                  shift_rng_x=3.0, shift_rng_y=3.0)
+
+
+def _time(fn, *args, reps=3):
+    out = fn(*args)
+    jax.tree_util.tree_map(
+        lambda x: np.asarray(jnp.real(x)) if hasattr(x, "dtype") else x, out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+        jax.tree_util.tree_map(
+            lambda x: np.asarray(jnp.real(x)) if hasattr(x, "dtype") else x,
+            out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal((N, NX, NX)).astype(np.float32))
+    refs = jnp.asarray(rng.standard_normal((K, NX, NX)).astype(np.float32))
+    params = AlignParams.zeros(N)
+    rfw = jax.jit(lambda r: prepare_ref_spectra(r, cfg))(refs)
+    lo, width, _ = ts.template_geometry(cfg)
+
+    from cryo_ralib_tpu.ops.polar_mm import translate_bilinear_mm
+
+    def _win(images):
+        img_t = translate_bilinear_mm(images, params.shift_x, params.shift_y)
+        w = img_t[:, lo:lo + width, lo:lo + width]
+        return w.reshape(images.shape[0], -1).astype(jnp.bfloat16)
+
+    modes = sys.argv[1:] or ["full", "build", "sf", "translate", "search"]
+    # device-resident inputs for the search-only stages (built once)
+    win_d = tm_d = None
+    for mode in modes:
+        if mode == "full":
+            fn = jax.jit(lambda i, r: ts.template_search(i, r, params, cfg))
+            dt = _time(lambda i, r: fn(i, r).best_val, imgs, rfw)
+        elif mode == "full_stream":
+            fn = jax.jit(lambda i, r: ts.template_search(i, r, params, cfg,
+                                                         stream=True))
+            dt = _time(lambda i, r: fn(i, r).best_val, imgs, rfw)
+        elif mode == "build":
+            fn = jax.jit(lambda r: ts.build_template_matrix(r, cfg))
+            dt = _time(lambda r: fn(r)[:8, :8], rfw)
+        elif mode == "sf":
+            fn = jax.jit(lambda: ts.splat_spectra(cfg))
+            dt = _time(lambda: fn()[:2, :2, :2])
+        elif mode == "translate":
+            fn = jax.jit(_win)
+            dt = _time(lambda i: fn(i)[:8, :8], imgs)
+        elif mode.startswith("search"):
+            target = int(mode[8:]) if mode.startswith("search_c") else None
+            if win_d is None:
+                win_d = jax.jit(_win)(imgs)
+                tm_d = jax.jit(
+                    lambda r: ts.build_template_matrix(r, cfg))(rfw)
+                np.asarray(win_d[:1, :1].astype(jnp.float32))
+                np.asarray(tm_d[:1, :1].astype(jnp.float32))
+            old = ts.COL_CHUNK_TARGET
+            if target:
+                ts.COL_CHUNK_TARGET = target
+            try:
+                fn = jax.jit(lambda w, t: ts._argmax_chunked(
+                    w, t, cfg.ring_len))
+                dt = _time(lambda w, t: fn(w, t)[0], win_d, tm_d)
+            finally:
+                ts.COL_CHUNK_TARGET = old
+        else:
+            print(f"unknown stage {mode}")
+            continue
+        print(f"{mode:12s}: {dt*1e3:7.1f} ms  ({N/dt:8.0f} pps)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
