@@ -219,6 +219,41 @@ def test_template_align_step_end_to_end(stack, refs):
     assert np.all(np.isfinite(np.asarray(out_t.class_sums)))
 
 
+def test_template_gspmd_mesh_streamed(stack, refs, monkeypatch):
+    """The streamed (block-sliced) search partitions under GSPMD like
+    the materialized one: force streaming by shrinking the matrix
+    budget below this config's ~78 MB matrix (blocks are ~4 MB)."""
+    import importlib
+
+    # ops/__init__ re-exports the function under the module's name, so a
+    # plain "import ... as" would bind the function — go via importlib
+    ts_mod = importlib.import_module("cryo_ralib_tpu.ops.template_search")
+    from cryo_ralib_tpu.models.steps import align_step, make_align_step
+    from cryo_ralib_tpu.parallel.mesh import make_mesh, shard_stack
+
+    monkeypatch.setattr(ts_mod, "TEMPLATE_MATRIX_BUDGET_BYTES", 10 << 20)
+    cfg = _cfg()
+    assert template_supported(cfg, K)  # blocks fit the shrunken budget
+    assert ts_mod._template_matrix_bytes(cfg, K) > 10 << 20  # matrix not
+    n = stack.shape[0]
+    mesh = make_mesh(4)
+    step = make_align_step(cfg, n_classes=K, mesh=mesh, sampler="template",
+                           dist="gspmd", donate=False)
+    imgs, gidx, valid = shard_stack(stack, mesh)
+    out = step(imgs, jnp.asarray(refs),
+               AlignParams.zeros(int(imgs.shape[0])), gidx, valid)
+    ref_out = align_step(jnp.asarray(stack), jnp.asarray(refs),
+                         AlignParams.zeros(n),
+                         jnp.arange(n, dtype=jnp.int32),
+                         jnp.ones(n, jnp.float32), cfg, n_classes=K,
+                         sampler="template")
+    np.testing.assert_array_equal(np.asarray(out.counts),
+                                  np.asarray(ref_out.counts))
+    np.testing.assert_allclose(np.asarray(out.class_sums),
+                               np.asarray(ref_out.class_sums),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_template_gspmd_mesh(stack, refs):
     """The template step partitions under GSPMD over a dp mesh and
     matches the single-device run."""
