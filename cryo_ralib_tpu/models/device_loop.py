@@ -41,11 +41,12 @@ def _loop(images, avg0, params: AlignParams, gidx, valid, cutoffs, falloffs,
           shift_chunk: int):
     n_total = jnp.sum(valid)
     # splat spectra depend only on cfg — computed once, loop-invariant
+    # (one entry per fractional-remainder group)
     sf = None
     if sampler == "template":
-        from ..ops.template_search import splat_spectra
+        from ..ops.template_search import splat_spectra_groups
 
-        sf = splat_spectra(cfg)
+        sf = splat_spectra_groups(cfg)
 
     def body(i, state):
         params, avg = state
@@ -141,11 +142,12 @@ def _mref_loop(images, refs0, params: AlignParams, gidx, valid, cutoffs,
                falloffs, cfg: AlignConfig, *, n_iter: int, n_classes: int,
                sampler: str, fast: bool, shift_chunk: int):
     # splat spectra depend only on cfg — computed once, loop-invariant
+    # (one entry per fractional-remainder group)
     sf = None
     if sampler == "template":
-        from ..ops.template_search import splat_spectra
+        from ..ops.template_search import splat_spectra_groups
 
-        sf = splat_spectra(cfg)
+        sf = splat_spectra_groups(cfg)
 
     def body(i, state):
         params, refs = state

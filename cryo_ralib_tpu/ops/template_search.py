@@ -113,11 +113,18 @@ def _frac_groups(cfg):
 def template_geometry(cfg):
     """(window_start, window_width, pad) of the central square window
     that covers every ring sample under every grid shift plus the
-    bilinear tent: radius ring_num + max_shift + 1."""
-    rad = int(np.ceil(cfg.ring_num
-                      + max(cfg.shift_rng_x, cfg.shift_rng_y) + 1))
+    bilinear tent: radius ring_num + max_shift + 1.
+
+    max_shift is the largest ACTUAL grid value, not ``shift_rng`` —
+    step rounding in the inclusive grid can overshoot the range (e.g.
+    step 0.75, rng 1.9 produces ±2.25), and a pad sized from the range
+    would put slice origins outside the padded block, which
+    ``lax.slice`` silently clamps to a wrong-shift template."""
+    mx = float(max(np.abs(cfg.shift_x_vals).max(initial=0.0),
+                   np.abs(cfg.shift_y_vals).max(initial=0.0)))
+    rad = int(np.ceil(cfg.ring_num + mx + 1))
     c = cfg.img_dim // 2
-    pad = int(np.ceil(max(cfg.shift_rng_x, cfg.shift_rng_y)))
+    pad = int(np.ceil(mx))
     return c - rad, 2 * rad + 1, pad
 
 
@@ -127,6 +134,15 @@ def _template_matrix_bytes(cfg, n_classes: int) -> int:
     n_mirror = 2 if cfg.mirror else 1
     return (n_mirror * cfg.n_shifts * n_classes * cfg.ring_len
             * width * width * 2)
+
+
+def _template_blocks_bytes(cfg, n_classes: int) -> int:
+    """Bytes of the padded (Fg, M, K, L, wp, wp) bf16 block stack."""
+    groups, _ = _frac_groups(cfg)
+    _, width, pad = template_geometry(cfg)
+    n_mirror = 2 if cfg.mirror else 1
+    return (len(groups) * n_mirror * n_classes * cfg.ring_len
+            * (width + 2 * pad) ** 2 * 2)
 
 
 def template_supported(cfg, n_classes: int) -> bool:
@@ -143,13 +159,11 @@ def template_supported(cfg, n_classes: int) -> bool:
     groups, _ = _frac_groups(cfg)
     if len(groups) > MAX_FRAC_GROUPS:
         return False
-    lo, width, pad = template_geometry(cfg)
+    lo, width, _ = template_geometry(cfg)
     if lo < 0 or lo + width > cfg.img_dim:
         return False
-    n_mirror = 2 if cfg.mirror else 1
-    blocks_bytes = (len(groups) * n_mirror * n_classes * cfg.ring_len
-                    * (width + 2 * pad) ** 2 * 2)
-    return blocks_bytes <= TEMPLATE_MATRIX_BUDGET_BYTES
+    return _template_blocks_bytes(cfg, n_classes) \
+        <= TEMPLATE_MATRIX_BUDGET_BYTES
 
 
 def _base_tents(cfg, lo, width, frac=(0.0, 0.0)):
@@ -179,6 +193,15 @@ def splat_spectra(cfg, frac=(0.0, 0.0)):
     return sf.transpose(0, 2, 1)                  # (R, F, Wpx)
 
 
+def splat_spectra_groups(cfg):
+    """Per-frac-group splat spectra, in ``_frac_groups`` order — the
+    hoistable cfg-only invariant for loops over fractional grids (a
+    1-tuple for integer grids).  Pass the result as ``sf=`` to
+    ``template_search``/``build_template_blocks``."""
+    groups, _ = _frac_groups(cfg)
+    return tuple(splat_spectra(cfg, frac=f) for f in groups.values())
+
+
 def build_template_blocks(ref_fw, cfg, sf=None):
     """Weighted ring spectra (K, R, F) -> padded per-frac template blocks.
 
@@ -196,10 +219,18 @@ def build_template_blocks(ref_fw, cfg, sf=None):
     groups, decomp = _frac_groups(cfg)
     # one padded template block per fractional group (integer grids: one)
     order = list(groups)
+    # sf: a single (R, F, Wpx) array (single-group grids) or the
+    # splat_spectra_groups tuple (one entry per group, same order)
+    if sf is None:
+        sfs = None
+    elif isinstance(sf, (tuple, list)):
+        sfs = tuple(sf) if len(sf) == len(order) else None
+    else:
+        sfs = (sf,) if len(order) == 1 else None
     blocks = []
-    for key in order:
+    for idx, key in enumerate(order):
         frac = groups[key]
-        sf_g = sf if (sf is not None and len(groups) == 1) else \
+        sf_g = sfs[idx] if sfs is not None else \
             splat_spectra(cfg, frac=frac)
         g = jnp.einsum("krf,rfp->kpf", ref_fw, jnp.conj(sf_g))
         tbo = irfft_mm(g, n=ring_len)             # (K, Wpx, L)
@@ -219,6 +250,10 @@ def build_template_blocks(ref_fw, cfg, sf=None):
     fids = np.asarray([gid[key] for _, _, key in decomp], np.int32)
     oys = np.asarray([pad - iy for iy, _, _ in decomp], np.int32)
     oxs = np.asarray([pad - ix for _, ix, _ in decomp], np.int32)
+    # every slice origin must land inside the padded block — lax.slice
+    # would silently clamp an out-of-range origin to a wrong template
+    assert oys.min() >= 0 and oys.max() <= 2 * pad, (oys, pad)
+    assert oxs.min() >= 0 and oxs.max() <= 2 * pad, (oxs, pad)
     return tbps, fids, oys, oxs
 
 
@@ -368,7 +403,10 @@ def template_search(images, ref_fw, params, cfg, sf=None,
     s_num = cfg.n_shifts
     lo, width, _ = template_geometry(cfg)
     if stream is None:
+        # the materialized path holds blocks AND matrix live at once
+        # during the build — budget their sum, not the matrix alone
         stream = (_template_matrix_bytes(cfg, k_num)
+                  + _template_blocks_bytes(cfg, k_num)
                   > TEMPLATE_MATRIX_BUDGET_BYTES)
 
     img_t = translate_bilinear_mm(images, params.shift_x, params.shift_y)

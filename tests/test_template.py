@@ -137,6 +137,27 @@ def test_template_accumulated_fractional_shifts(stack, refs):
     assert agree >= n - 1  # allow one bf16 tie swap
 
 
+def test_template_overshooting_grid_matches_matmul(stack, refs):
+    """Step-rounding can overshoot shift_rng (step 0.75, rng 1.9 ->
+    grid value -2.25).  The geometry must pad from the ACTUAL grid
+    values — a pad sized from the range would let lax.slice silently
+    clamp the -2.25 template to the -1.25 roll (code-review r3 #1)."""
+    cfg = _cfg(shift_step=0.75, shift_rng_x=1.9, shift_rng_y=1.9)
+    assert np.abs(cfg.shift_x_vals).max() > 1.9  # overshoot present
+    assert template_supported(cfg, K)
+    params = AlignParams.zeros(stack.shape[0])
+    ref_fw = prepare_ref_spectra(jnp.asarray(refs), cfg)
+    res_t = template_search(jnp.asarray(stack), ref_fw, params, cfg)
+    res_m = rotational_shift_search_mm(jnp.asarray(stack), ref_fw, params,
+                                       cfg, fast=True)
+    for i in range(stack.shape[0]):
+        same = all(int(getattr(res_t, f)[i]) == int(getattr(res_m, f)[i])
+                   for f in ("best_mirror", "best_sidx", "best_ref",
+                             "best_aidx"))
+        gap = abs(float(res_t.best_val[i]) - float(res_m.best_val[i]))
+        assert same or gap < 5e-3 * abs(float(res_m.best_val[i])), i
+
+
 def test_template_streamed_matches_materialized(stack, refs):
     """The streamed search (column chunks built on the fly from the
     padded template blocks, no materialized matrix) is bit-identical to

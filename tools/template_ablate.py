@@ -102,7 +102,8 @@ def main():
         elif mode == "translate":
             fn = jax.jit(_win)
             dt = _time(lambda i: fn(i)[:8, :8], imgs)
-        elif mode.startswith("search"):
+        elif mode == "search" or (mode.startswith("search_c")
+                                  and mode[8:].isdigit()):
             target = int(mode[8:]) if mode.startswith("search_c") else None
             if win_d is None:
                 win_d = jax.jit(_win)(imgs)
