@@ -39,6 +39,18 @@ from functools import partial
 
 import numpy as np
 
+# Probe the tunneled TPU BEFORE the first jax import: during a worker
+# outage ``import jax`` hangs forever, and a hung bench run leaves the
+# driver with no measurement at all.  On probe failure this pins the
+# process to CPU and the JSON line says so (detail.tpu_unreachable).
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _tpu_guard import ensure_live_platform
+
+_TPU_LIVE = ensure_live_platform()
+
 import jax
 import jax.numpy as jnp
 
@@ -61,6 +73,10 @@ N_K32 = 2048
 N_BIG = 2048
 N_CPU = 128
 CPU_REPS = 5
+if not _TPU_LIVE:
+    # outage fallback: the CPU gather path is ~500x slower than the fused
+    # TPU kernel; keep the degraded measurement inside the driver deadline
+    N_DEV, N_SMALL, N_K32, N_BIG = 512, 512, 256, 256
 CFG = AlignConfig(img_dim=NX, ring_num=36, ring_len=256,
                   shift_step=1.0, shift_rng_x=3.0, shift_rng_y=3.0)
 # realistic-box row: 160 px / ou=48 runs fused through the 128-wide
@@ -339,6 +355,7 @@ def main():
             "config": "90px K=8 xr=yr=3 ts=1 ou=36 ring_len=256 mirror "
                       f"batch={N_DEV}",
             "device": str(dev.platform),
+            "tpu_unreachable": (True if not _TPU_LIVE else None),
             "sampler": sampler_used,
             "timing": ("sustained device-resident loop, 6 iters/dispatch"
                        if sustained else "single-dispatch step"),

@@ -199,7 +199,11 @@ def load_stack(path: str):
 
         try:
             images, headers = read_bdb_stack(path)
-        except RuntimeError as e:
+        except FileNotFoundError:
+            raise
+        except (RuntimeError, ValueError, OSError, KeyError) as e:
+            # missing libdb, foreign layout (no maxrec/data_path), or a
+            # corrupt btree all get the same actionable guidance
             raise ValueError(
                 f"{e}; convert to HDF first, e.g. "
                 f"`e2proc2d.py {path} stack.hdf` — then pass stack.hdf"

@@ -164,6 +164,38 @@ def _pk(obj) -> bytes:
     return pickle.dumps(obj, 2)
 
 
+def _loads(raw: bytes):
+    """Unpickle a key/value written by any EMAN2 generation.
+
+    py2-era EMAN2 pickles str keys as SHORT_BINSTRING (no protocol-2
+    BINUNICODE), py3 EMAN2 uses ``dumps(key, -1)`` (protocol 4/5) — none
+    of which byte-match this module's own protocol-2 py3 pickles, so keys
+    can never be looked up by re-pickling; they must be DECODED.
+    ``encoding='latin1'`` maps py2 ``str`` to ``str`` losslessly.
+    """
+    return pickle.loads(raw, encoding="latin1")
+
+
+def _scan(db: Db185) -> dict:
+    """One btree cursor pass -> {decoded key: (raw key bytes, raw value)}.
+
+    Single source of truth for key matching: EMAN2 containers from
+    different generations encode the same logical key with different
+    pickle opcodes (see ``_loads``), so byte-exact ``db.get`` on a
+    re-pickled key misses on genuine containers; scanning and decoding
+    every key is protocol-agnostic (and a full read touches every record
+    anyway).  Undecodable keys are skipped.
+    """
+    out = {}
+    for kb, vb in db.items():
+        try:
+            k = _loads(kb)
+        except Exception:  # noqa: BLE001 - foreign/corrupt key: skip
+            continue
+        out[k] = (kb, vb)
+    return out
+
+
 def read_bdb_stack(spec: str):
     """Read a ``bdb:`` particle stack -> (images (N, ny, nx) f32, headers).
 
@@ -175,19 +207,18 @@ def read_bdb_stack(spec: str):
     if not os.path.exists(dbfile):
         raise FileNotFoundError(f"{spec}: no such database ({dbfile})")
     with Db185(dbfile) as db:
-        raw = db.get(_pk("maxrec"))
-        if raw is None:
+        recs = _scan(db)
+        if "maxrec" not in recs:
             raise ValueError(f"{spec}: no 'maxrec' key — not an EMAN2 "
                              "image database?")
-        maxrec = pickle.loads(raw)
+        maxrec = _loads(recs["maxrec"][1])
         headers = []
         images = []
         data_files = {}
         for i in range(int(maxrec) + 1):
-            raw = db.get(_pk(i))
-            if raw is None:
+            if i not in recs:
                 continue
-            hdr = pickle.loads(raw)
+            hdr = _loads(recs[i][1])
             nx, ny = int(hdr["nx"]), int(hdr["ny"])
             nz = int(hdr.get("nz", 1))
             if nz != 1:
@@ -236,13 +267,20 @@ def write_bdb_stack(spec: str, images: np.ndarray, headers=None):
 def update_bdb_headers(spec: str, updates: list[dict]):
     """Merge per-image attribute dicts into an existing bdb stack — the
     header write-back of the bdb CLI (``write_attr``,
-    test_mref_cheng_yu_bdb_cuda.py:155-210)."""
+    test_mref_cheng_yu_bdb_cuda.py:155-210).
+
+    Re-uses each record's ORIGINAL raw key bytes so write-back into a
+    container written by a different EMAN2 generation updates the
+    existing record instead of inserting a duplicate under a
+    differently-pickled key.
+    """
     _dbdir, dbfile = parse_bdb_path(spec)
     with Db185(dbfile, create=True) as db:
+        recs = _scan(db)
         for i, upd in enumerate(updates):
-            raw = db.get(_pk(i))
-            if raw is None:
+            if i not in recs:
                 raise KeyError(f"{spec}: image {i} missing")
-            hdr = pickle.loads(raw)
+            kb, vb = recs[i]
+            hdr = _loads(vb)
             hdr.update(upd)
-            db.put(_pk(i), _pk(hdr))
+            db.put(kb, _pk(hdr))

@@ -23,6 +23,8 @@ radial profile are (H, W)-sized host work.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -123,6 +125,12 @@ def variance_map(var):
     return np.fft.fftshift(full).astype(np.float32)
 
 
+@partial(jax.jit, static_argnames=("engine", "fast", "use_mask"))
+def _moments_batch(im, p, v, mask, *, engine, fast, use_mask):
+    return fourier_moments(im, p, mask=mask if use_mask else None,
+                           valid=v, engine=engine, fast=fast)
+
+
 def fourier_variance(data: np.ndarray, params: AlignParams, mask=None,
                      batch: int = 4096, engine: str = "shear",
                      fast: bool = True):
@@ -132,9 +140,14 @@ def fourier_variance(data: np.ndarray, params: AlignParams, mask=None,
     n, h, _w = data.shape
     b = min(batch, n)
 
-    fn = jax.jit(
-        lambda im, p, v: fourier_moments(
-            im, p, mask=mask, valid=v, engine=engine, fast=fast))
+    # module-level jit (not a fresh lambda per call): --Fourvar runs this
+    # every reffree iteration, and a per-call lambda would defeat the jit
+    # cache — one full retrace + recompile of the transform+rfft2 program
+    # per iteration on a machine with no persistent XLA cache.  The mask
+    # is a traced arg, so its VALUES may change without recompiling.
+    use_mask = mask is not None
+    mask_arr = (jnp.asarray(mask, jnp.float32) if use_mask
+                else jnp.zeros((1, 1), jnp.float32))
     f = h // 2 + 1
     acc = [np.zeros((h, f), np.float64) for _ in range(3)]
     total = 0.0
@@ -151,7 +164,9 @@ def fourier_variance(data: np.ndarray, params: AlignParams, mask=None,
                             np.zeros(pad, x.dtype)]) if pad else x[start:end]
             for x in p_np])
         valid = (np.arange(b) < m).astype(np.float32)
-        sr, si, sq, cnt = fn(jnp.asarray(imgs), pb, jnp.asarray(valid))
+        sr, si, sq, cnt = _moments_batch(
+            jnp.asarray(imgs), pb, jnp.asarray(valid), mask_arr,
+            engine=engine, fast=fast, use_mask=use_mask)
         acc[0] += np.asarray(sr, np.float64)
         acc[1] += np.asarray(si, np.float64)
         acc[2] += np.asarray(sq, np.float64)

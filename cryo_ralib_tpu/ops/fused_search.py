@@ -276,14 +276,11 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
                         if do_mirror:
                             acc_m[0, :, :128] += a - b
                             acc_m[0, :, 128:] += -(ct + dt)
-                elif raw4:
-                    r_re = r[0, :, :128].reshape(n_ref, 1, 128)
-                    r_im = r[0, :, 128:].reshape(n_ref, 1, 128)
-                    acc_r[:, :, 0:128] += s_re[None] * r_re
-                    acc_r[:, :, 128:256] += s_im[None] * r_im
-                    acc_r[:, :, 256:384] += s_re[None] * r_im
-                    acc_r[:, :, 384:512] += s_im[None] * r_re
                 else:
+                    # n_ref>1 with raw4 already returned above (the
+                    # ring-pair combined-RMW block); only the two-channel
+                    # accumulate reaches here
+                    assert not raw4
                     r_re = r[0, :, :128].reshape(n_ref, 1, 128)
                     r_im = r[0, :, 128:].reshape(n_ref, 1, 128)
                     a = s_re[None] * r_re

@@ -55,6 +55,49 @@ def test_bdb_header_writeback(tmp_path):
     assert headers[1]["xform.align2d"]["alpha"] == 10.0
 
 
+def test_bdb_foreign_generation_keys(tmp_path):
+    """Containers written by real EMAN2 use key pickles this module never
+    emits: py2-era EMAN2 stores str keys as protocol-2 SHORT_BINSTRING,
+    py3 EMAN2 uses ``dumps(key, -1)`` (protocol >= 4).  Reads and header
+    write-back must decode keys rather than byte-match re-pickled ones."""
+    import pickle
+
+    rng = np.random.default_rng(7)
+    imgs = rng.standard_normal((3, 8, 8)).astype(np.float32)
+    spec = _spec(tmp_path, "py2like")
+    dbdir, dbfile = bdb.parse_bdb_path(spec)
+    os.makedirs(dbdir, exist_ok=True)
+    side = "py2like_8x8x1"
+    with open(os.path.join(dbdir, side), "wb") as f:
+        f.write(np.ascontiguousarray(imgs, "<f4").tobytes())
+
+    # py2 cPickle protocol-2 encoding of the str 'maxrec':
+    # PROTO 2, SHORT_BINSTRING len=6 'maxrec', BINPUT 0, STOP
+    py2_maxrec_key = b"\x80\x02U\x06maxrecq\x00."
+    assert pickle.loads(py2_maxrec_key, encoding="latin1") == "maxrec"
+
+    with bdb.Db185(dbfile, create=True) as db:
+        for i in range(3):
+            hdr = {"nx": 8, "ny": 8, "nz": 1, "data_path": side,
+                   "data_n": i, "apix_x": 1.2}
+            # py3 EMAN2 generation: dumps(key, -1) -> protocol >= 4
+            db.put(pickle.dumps(i, 4), pickle.dumps(hdr, 4))
+        db.put(py2_maxrec_key, pickle.dumps(2, 4))
+
+    got, headers = bdb.read_bdb_stack(spec)
+    np.testing.assert_array_equal(got, imgs)
+    assert headers[1]["apix_x"] == 1.2
+
+    # write-back must update the EXISTING protocol-4 records in place,
+    # not insert duplicates under protocol-2 keys
+    bdb.update_bdb_headers(spec, [{"assign": i} for i in range(3)])
+    with bdb.Db185(dbfile) as db:
+        n_keys = sum(1 for _ in db.items())
+    assert n_keys == 4  # 3 image records + maxrec, no duplicates
+    _got, headers = bdb.read_bdb_stack(spec)
+    assert [h["assign"] for h in headers] == [0, 1, 2]
+
+
 def test_load_stack_accepts_bdb(tmp_path):
     from cryo_ralib_tpu.cli.common import load_stack
 
