@@ -143,11 +143,17 @@ def inverse_transform2(alpha, sx, sy, mirror=0):
 def params_table(params: AlignParams) -> np.ndarray:
     """(N, 4) float table [alpha, sx, sy, mirror] in header convention,
     i.e. the rows written to ``initial2Dparams.txt``
-    (test_reffree_gpu_align.py:560-569)."""
+    (test_reffree_gpu_align.py:560-569).
+
+    alpha is wrapped into [0, 360): the raw decode can step outside
+    (360 - theta with a parabolic offset, and a degenerate flat-peak fit
+    can overshoot by several bins), but every reference header path goes
+    through ``combine_params2``, which normalizes ``% 360``
+    (sp_utilities semantics; see ``combine_params2`` above)."""
     sx, sy = gpu_params_to_align2d(params.angle, params.shift_x, params.shift_y)
     return np.stack(
         [
-            np.asarray(params.angle, np.float64),
+            np.asarray(params.angle, np.float64) % 360.0,
             np.asarray(sx, np.float64),
             np.asarray(sy, np.float64),
             np.asarray(params.mirror, np.float64),

@@ -14,6 +14,13 @@ import sys
 # tunneled-TPU machines: any PYTHONPATH disables the TPU plugin there)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+# honor JAX_PLATFORMS=cpu: the tunneled-TPU plugin ignores the env var,
+# only the config route pins the platform (see tests/conftest.py)
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import time
 
 import numpy as np

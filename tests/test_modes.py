@@ -258,3 +258,28 @@ def test_engine_shc_streaming_matches_resident(stack):
     pr, ps = res.params_np(), stm.params_np()
     np.testing.assert_array_equal(pr.mirror, ps.mirror)
     np.testing.assert_allclose(pr.angle, ps.angle, atol=1e-4)
+
+
+def test_reffree_driver_combined_flags(tmp_path, stack):
+    """All round-3 reffree capabilities at once — the reference's
+    ali2d_base accepts CTF+Fourvar+SHC+mode=H+nomirror+yr simultaneously
+    (test_reffree_gpu_align.py:915-935), so the rebuild must too; each
+    flag is oracle-tested alone elsewhere, this guards the wiring."""
+    import os
+
+    from cryo_ralib_tpu.models import ali2d_base_tpu
+
+    n = stack.shape[0]
+    res = ali2d_base_tpu(
+        stack, outdir=str(tmp_path / "combo"), ou=12, xr=1.0, yr=2.0,
+        ts=1.0, maxit=2, CTF=True, snr=5.0,
+        ctf_params=dict(dfu=np.full(n, 1.4), apix=1.5),
+        Fourvar=True, random_method="SHC", mode="H", nomirror=True,
+        sampler="gather")
+    p = np.asarray(res.params)                        # (N, 4) header rows
+    assert np.all(p[:, 3] == 0)                       # --nomirror
+    assert np.all(p[:, 0] >= 0.0) and np.all(p[:, 0] < 360.0)
+    assert os.path.exists(tmp_path / "combo" / "varf.hdf")   # --Fourvar
+    assert os.path.exists(tmp_path / "combo" / "aqfinal.hdf")
+    assert res.radial_variances and np.all(np.isfinite(res.radial_variances[-1]))
+    assert np.isfinite(res.criteria[-1])
