@@ -25,11 +25,36 @@ Stages:
               matmul+argmax+row-capture block alone
   search_cN   same with COL_CHUNK_TARGET=N (e.g. search_c1024,
               search_c4096, search_c8192) to tune the chunk size
+  mm_only     the chunked score matmul with only a running jnp.max
+              epilogue (no argmax, no row capture) — the pure-matmul
+              floor of the search stage
+  mm_argmax   matmul + max + argmax per chunk, no row capture —
+              isolates the one-hot angle-row capture cost
 
 Every timing uses a host fetch as the completion barrier
 (jax.block_until_ready does not block on the axon transport) and
 includes the ~44 ms tunnel dispatch cost; compare stages to each
 other, not to zero.
+
+Measured on v5e (90 px, K=8, S=49, N=8192, post-r3-outage):
+
+  full 182 ms (45.0k pps), search 175.6, build 48.6, translate ~77
+  (stages share the dispatch cost; the production path hoists sf)
+  mm_only 151.8 ms  -> the score matmul alone runs at ~72% of bf16
+                       peak and dominates the search stage
+  mm_argmax ~+6 ms, full epilogue (argmax + one-hot row capture)
+            ~+11 ms over mm_only -> the epilogue is NOT the lever
+  search_c2560 ~3% under c2048 once, within rerun noise -> chunk
+            target stays 2048
+  (negative) a minor-axis jnp.take of the (8192, 6561) window at
+            this size never finished compiling+running inside 580 s
+            on the tunneled worker -> pixel packing must be built
+            from contiguous slices, not gathers
+
+Conclusion: the only real lever left in the search stage is cutting
+matmul FLOPs themselves — e.g. dropping the ~21% of window pixels
+outside the ring+shift support disc (square-corner pixels), which
+every template column leaves at irfft-noise level.
 """
 
 import importlib
@@ -102,6 +127,39 @@ def main():
         elif mode == "translate":
             fn = jax.jit(_win)
             dt = _time(lambda i: fn(i)[:8, :8], imgs)
+        elif mode in ("mm_only", "mm_argmax"):
+            if win_d is None:
+                win_d = jax.jit(_win)(imgs)
+                tm_d = jax.jit(
+                    lambda r: ts.build_template_matrix(r, cfg))(rfw)
+                np.asarray(win_d[:1, :1].astype(jnp.float32))
+                np.asarray(tm_d[:1, :1].astype(jnp.float32))
+            capture = mode == "mm_argmax"
+
+            def _mm(w, t, capture=capture):
+                c_total = t.shape[0]
+                chunk = ts._col_chunk(c_total, cfg.ring_len)
+
+                def body(i, carry):
+                    bv, bi = carry
+                    cols = jax.lax.dynamic_slice(
+                        t, (i * chunk, 0), (chunk, t.shape[1]))
+                    scores = jnp.dot(w, cols.T,
+                                     preferred_element_type=jnp.float32)
+                    v = jnp.max(scores, axis=1)
+                    if capture:
+                        a = jnp.argmax(scores, axis=1).astype(jnp.int32)
+                        take = v > bv
+                        return (jnp.where(take, v, bv),
+                                jnp.where(take, a + i * chunk, bi))
+                    return (jnp.maximum(bv, v), bi)
+
+                init = (jnp.full((w.shape[0],), -jnp.inf, jnp.float32),
+                        jnp.zeros((w.shape[0],), jnp.int32))
+                return jax.lax.fori_loop(0, c_total // chunk, body, init)
+
+            fn = jax.jit(_mm)
+            dt = _time(lambda w, t: fn(w, t)[0], win_d, tm_d)
         elif mode == "search" or (mode.startswith("search_c")
                                   and mode[8:].isdigit()):
             target = int(mode[8:]) if mode.startswith("search_c") else None
