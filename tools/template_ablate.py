@@ -54,7 +54,36 @@ Measured on v5e (90 px, K=8, S=49, N=8192, post-r3-outage):
 Conclusion: the only real lever left in the search stage is cutting
 matmul FLOPs themselves — e.g. dropping the ~21% of window pixels
 outside the ring+shift support disc (square-corner pixels), which
-every template column leaves at irfft-noise level.
+every template column leaves at exact zero (splat spectra are exact
+zeros there and the matmul-irfft of zeros is zero).
+
+(negative, tried and measured) Disc packing — dropping those pixels
+by concatenating per-row [x0, x1) span slices (81 spans, 6561 -> 5217
+px at the headline config) from both the window and the template
+columns — is semantically exact (CPU tests green, dropped template
+pixels exactly 0) and the naive form measured full 162 ms / search
+134 ms (-24%, 50.5k pps e2e).  But on this backend it is
+unshippable; every formulation was tried on hardware:
+  * pack fused into the template build (the fast form): MISCOMPILES
+    — wrong pixels land in ~95% of columns, winners garbage; caught
+    by tools/tpu_parity_check.py (template engine FAILed all 4 cases
+    with max|d| = the max template value).  An optimization_barrier
+    before the pack does NOT fix it; a barrier AFTER the pack does
+    not either (probed max|d|=1.7e2).
+  * correct forms (barrier'd slice from the materialized padded
+    blocks, or stack-then-pack of the full TM) compile and are exact
+    but take 19-26 s warm: ~5k lane-misaligned concat pieces (span
+    starts at arbitrary lane offsets) each degrade to strided
+    scalar-ish copies.
+  * packing on the sublane axis instead — the (K, Wpx, L) layout
+    from irfft_mm with angle on lanes, padded-flat pixel spans so
+    every shift is one base offset — never finished compiling in
+    580 s (4k slice_in_dim ops).
+  * a flat jnp.take pack never finished compiling either (above).
+The window-side pack alone is exact and cheap (slices from a
+materialized translate output) — it is the template side that has no
+correct-and-fast lowering.  Revisit only if the backend's concat
+lowering improves; rerun the parity gate on hardware first.
 """
 
 import importlib
