@@ -60,9 +60,10 @@ class AlignmentEngine:
         # --dst discrete-angle search: iterate(discrete=True) runs a
         # second compiled step whose angle argmax is restricted to
         # multiples of ``delta`` degrees (built lazily on first use;
-        # non-fused sampler).  The CPU twin applies delta only on the
-        # standard (non-SHC) path (ali2d_single_iter), so SHC engines
-        # reject it.
+        # every sampler honors the mask since r4, so discrete iterations
+        # keep the engine's fast path).  The CPU twin applies delta only
+        # on the standard (non-SHC) path (ali2d_single_iter), so SHC
+        # engines reject it.
         self.delta = float(delta)
         if self.delta and random_method:
             raise ValueError("delta (--dst) is only defined for the "
@@ -116,7 +117,7 @@ class AlignmentEngine:
         if random_method == "SHC":
             self._step = make_align_step_shc(cfg, n_classes=n_classes,
                                              shift_chunk=shift_chunk,
-                                             mesh=mesh)
+                                             mesh=mesh, sampler=sampler)
         elif random_method == "SCF":
             from .steps import make_align_step_scf
 

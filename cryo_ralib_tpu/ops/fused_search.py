@@ -128,7 +128,8 @@ def _class_plan(cfg, hp: int, rpb: int, n_classes: int = 3):
 
 def _kernel_banded2(img_ref, wxt_ref, *rest,
                     n_dx, n_dy, n_ref, rpb, q_b, classes,
-                    do_mirror=True, stage="full", raw4=False):
+                    do_mirror=True, stage="full", raw4=False,
+                    has_mask=False):
     """Band-limited fused search with ROLLED ring loops and the tight
     256-lane frequency packing: ``len(classes)`` class sections, each a
     fori_loop over its ring blocks with a uniform 8-aligned y-band,
@@ -158,17 +159,27 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
     nc = len(classes)
     wyt_refs = rest[:2 * nc]            # (A, B) chunk tables per class
     tail = rest[2 * nc:]
-    (dft_ref, ref_ref, rny_ref, oh_ref, irf_ref, prio_ref, out_ref,
-     polar_scr, nyq_scr) = tail[:9]
+    if has_mask:
+        # --dst discrete-angle search: (8, L) additive angle mask, applied
+        # once to the per-lane best values at finalize (adding a per-lane
+        # constant commutes with the max over candidates)
+        (dft_ref, ref_ref, rny_ref, oh_ref, irf_ref, prio_ref, mask_ref,
+         out_ref, polar_scr, nyq_scr) = tail[:10]
+        tail = tail[10:]
+    else:
+        (dft_ref, ref_ref, rny_ref, oh_ref, irf_ref, prio_ref, out_ref,
+         polar_scr, nyq_scr) = tail[:9]
+        mask_ref = None
+        tail = tail[9:]
     if raw4:
         assert do_mirror, "raw4 layout is for the mirrored search"
-        acc_r, rows_scr = tail[9:]
+        acc_r, rows_scr = tail
         acc_o = acc_m = None
     elif do_mirror:
-        acc_o, acc_m, rows_scr = tail[9:]
+        acc_o, acc_m, rows_scr = tail
         acc_r = None
     else:
-        acc_o, rows_scr = tail[9:]
+        acc_o, rows_scr = tail
         acc_m = acc_r = None
     n_rows = n_dx * n_dy * NT
     n_mirr = 2 if do_mirror else 1
@@ -352,6 +363,11 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
     bv = jnp.max(allr, axis=0)
     prio = prio_ref[:, 0].reshape(n_e, 1, 1)
     bm = jnp.min(jnp.where(allr == bv[None], prio, big), axis=0)
+    if has_mask:
+        # masked lanes drop out of the lane argmax; the stored winning
+        # angle row stays unmasked (decode runs refine=False under a
+        # mask, so the row's masked neighbors are never read)
+        bv = bv + mask_ref[0:1, :]
 
     vmax = jnp.max(bv, axis=-1, keepdims=True)
     mask = bv == vmax
@@ -383,7 +399,7 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
 def _build_banded2(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
                    n_rings: int, classes: tuple, interpret: bool,
                    do_mirror: bool = True, stage: str = "full",
-                   raw4: bool = False):
+                   raw4: bool = False, has_mask: bool = False):
     q_b = rpb * L
     n_rows = n_dx * n_dy * NT
     n_mirr = 2 if do_mirror else 1
@@ -392,9 +408,10 @@ def _build_banded2(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
 
     kern = partial(_kernel_banded2, n_dx=n_dx, n_dy=n_dy, n_ref=n_ref,
                    rpb=rpb, q_b=q_b, classes=tuple(classes),
-                   do_mirror=do_mirror, stage=stage, raw4=raw4)
+                   do_mirror=do_mirror, stage=stage, raw4=raw4,
+                   has_mask=has_mask)
 
-    def call(img, wxt_rb, wyts, dft, refp, rny, oh, irf, prio):
+    def call(img, wxt_rb, wyts, dft, refp, rny, oh, irf, prio, mask=None):
         t = img.shape[0] // NT
         wyt_specs = []
         for (_, sz, _, _bh, _ao, a_wh, _bo, b_wh) in classes:
@@ -436,6 +453,9 @@ def _build_banded2(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((n_e, 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
+                *([pl.BlockSpec((8, L), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)]
+                  if has_mask else []),
             ],
             out_specs=pl.BlockSpec((1, NT, 128 + L), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -444,7 +464,8 @@ def _build_banded2(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),
             interpret=interpret,
-        )(img, wxt_rb, *wyts, dft, refp, rny, oh, irf, prio)
+        )(img, wxt_rb, *wyts, dft, refp, rny, oh, irf, prio,
+          *([mask] if has_mask else []))
 
     return call
 
@@ -566,6 +587,13 @@ def fused_supported(cfg: AlignConfig, n_classes: int) -> bool:
         # half-ring sampling breaks the half-plane y-window invariant
         # (all lanes then have sin >= 0); H-mode runs the matmul path
         return False
+    if cfg.first_ring != 1 or cfg.ring_step != 1:
+        # the banded y-class plan assumes ring i at radius i+1; custom
+        # --ir/--rs ring schemes run the template/matmul paths (which
+        # are radius-agnostic)
+        return False
+    if cfg.ring_scheme != "cuda":
+        return False   # eman2 variable rings run ops/eman_search.py
     if cfg.img_dim > 128:
         # big boxes run through the 128-wide central x-window; the ring
         # extent (radius + shift + bilinear support) must fit beside the
@@ -580,7 +608,8 @@ def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
                  tables: FusedTables | None = None,
                  interpret: bool = False,
                  _stage: str = "full", raw4: bool | None = None,
-                 _k_chunk: int | None = None) -> SearchResult:
+                 _k_chunk: int | None = None,
+                 angle_mask=None) -> SearchResult:
     """Drop-in fused-kernel replacement for ``rotational_shift_search_mm``.
 
     Args:
@@ -592,6 +621,10 @@ def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
         non-"full" outputs are timing dummies.
       _k_chunk: test hook forcing a smaller ref-chunk size than the
         VMEM-derived ``max_chunk_k``.
+      angle_mask: optional (L,) additive f32 mask restricting the angle
+        argmax (the --dst discrete search, ops/search.delta_angle_mask);
+        applied to the per-lane best values at the in-kernel finalize.
+        ``best_row`` stays unmasked (decode must use ``refine=False``).
 
     References beyond ``max_chunk_k(cfg)`` run as multiple kernel
     invocations over ref-axis chunks whose running best is merged in
@@ -618,11 +651,15 @@ def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
     kc = max_chunk_k(cfg) if _k_chunk is None else _k_chunk
     if kc <= 0:
         raise ValueError("geometry exceeds the fused kernel VMEM budget")
+    mask8 = None
+    if angle_mask is not None:
+        mask8 = jnp.tile(jnp.asarray(angle_mask, jnp.float32)[None, :],
+                         (8, 1))
     result = None
     for k0 in range(0, k, kc):
         kk = min(kc, k - k0)
         chunk = _fused_search_one(img_p, ref_fw[k0:k0 + kk], cfg, tables,
-                                  interpret, _stage, raw4, n)
+                                  interpret, _stage, raw4, n, mask8)
         result = _merge_chunk(result, chunk, k0, k, tables) \
             if result is not None else chunk
     return result
@@ -652,7 +689,7 @@ def _merge_chunk(a: SearchResult, b: SearchResult, k_off: int, k_total: int,
 
 
 def _fused_search_one(img_p, ref_fw, cfg, tables, interpret, stage, raw4,
-                      n: int) -> SearchResult:
+                      n: int, mask8=None) -> SearchResult:
     """One kernel invocation over a (VMEM-sized) slice of the refs."""
     k = ref_fw.shape[0]
     n_pad = img_p.shape[0]
@@ -669,12 +706,14 @@ def _fused_search_one(img_p, ref_fw, cfg, tables, interpret, stage, raw4,
     call = _build_banded2(tables.n_dx, tables.n_dy, k, tables.hp,
                           tables.rpb, tables.n_rings, tables.classes,
                           interpret, do_mirror=cfg.mirror, stage=stage,
-                          raw4=raw4 and cfg.mirror)
+                          raw4=raw4 and cfg.mirror,
+                          has_mask=mask8 is not None)
     out = call(img_p, jnp.asarray(tables.wxt_rb),
                tuple(jnp.asarray(w) for w in tables.wyts),
                jnp.asarray(tables.dft_t), refp, rny,
                jnp.asarray(tables.oh), jnp.asarray(tables.irf_t),
-               jnp.asarray(tables.prio_table(k, mirror=cfg.mirror)))
+               jnp.asarray(tables.prio_table(k, mirror=cfg.mirror)),
+               mask=mask8)
     out = out.reshape(n_pad, 128 + L)
 
     val = out[:n, 0]

@@ -64,7 +64,7 @@ import jax
 import jax.numpy as jnp
 
 from .dft import irfft_mm, rfft_mm
-from .polar_mm import tent_rows, translate_bilinear_mm
+from .polar_mm import tent_rows, translate_window_mm
 from .search import SearchResult, _NEG_INF
 
 # soft budget for the materialized template matrix (HBM is 16 GB on v5e;
@@ -113,7 +113,7 @@ def _frac_groups(cfg):
 def template_geometry(cfg):
     """(window_start, window_width, pad) of the central square window
     that covers every ring sample under every grid shift plus the
-    bilinear tent: radius ring_num + max_shift + 1.
+    bilinear tent: radius max_radius + max_shift + 1.
 
     max_shift is the largest ACTUAL grid value, not ``shift_rng`` —
     step rounding in the inclusive grid can overshoot the range (e.g.
@@ -122,7 +122,7 @@ def template_geometry(cfg):
     ``lax.slice`` silently clamps to a wrong-shift template."""
     mx = float(max(np.abs(cfg.shift_x_vals).max(initial=0.0),
                    np.abs(cfg.shift_y_vals).max(initial=0.0)))
-    rad = int(np.ceil(cfg.ring_num + mx + 1))
+    rad = int(np.ceil(cfg.max_radius + mx + 1))
     c = cfg.img_dim // 2
     pad = int(np.ceil(mx))
     return c - rad, 2 * rad + 1, pad
@@ -156,6 +156,8 @@ def template_supported(cfg, n_classes: int) -> bool:
     separate per-iteration splat-spectra build).  Any
     ``img_dim``/``ring_len``/K is fine otherwise.
     """
+    if cfg.ring_scheme != "cuda":
+        return False   # eman2 variable rings run ops/eman_search.py
     groups, _ = _frac_groups(cfg)
     if len(groups) > MAX_FRAC_GROUPS:
         return False
@@ -300,7 +302,7 @@ def _col_chunk(c_total: int, ring_len: int, target: int | None = None) -> int:
 
 
 def _online_argmax(img_win, cols_fn, c_total: int, chunk: int,
-                   ring_len: int):
+                   ring_len: int, angle_mask=None):
     """(N, Wpx) x columns streamed by ``cols_fn(i) -> (chunk, Wpx)`` ->
     per-particle (best_val, flat col index, winning (L,) angle row).
 
@@ -308,16 +310,26 @@ def _online_argmax(img_win, cols_fn, c_total: int, chunk: int,
     candidate's whole angle row lives in the chunk that produced it and
     is captured with a one-hot contraction — no separate row-recompute
     pass.  Ascending chunk order + strict '>' keeps the first-seen
-    maximum — the flat table argmax priority."""
+    maximum — the flat table argmax priority.
+
+    ``angle_mask`` is an optional (L,) additive f32 mask (the --dst
+    discrete-angle search, ops/search.delta_angle_mask): every chunk is
+    a whole number of angle rows, so the mask tiles across the chunk's
+    column axis before the max/argmax (same fold as the XLA paths)."""
     n = img_win.shape[0]
     n_chunks = c_total // chunk
     n_groups = chunk // ring_len
+    if angle_mask is not None:
+        mask_tiled = jnp.tile(jnp.asarray(angle_mask, jnp.float32),
+                              n_groups)[None, :]          # (1, chunk)
 
     def body(i, carry):
         best_val, best_idx, best_row = carry
         cols = cols_fn(i)
         scores = jnp.dot(img_win, cols.T,
                          preferred_element_type=jnp.float32)
+        if angle_mask is not None:
+            scores = scores + mask_tiled
         v = jnp.max(scores, axis=1)
         a = jnp.argmax(scores, axis=1).astype(jnp.int32)
         grp = a // ring_len                       # (N,) winning group
@@ -338,7 +350,7 @@ def _online_argmax(img_win, cols_fn, c_total: int, chunk: int,
     return jax.lax.fori_loop(0, n_chunks, body, init)
 
 
-def _argmax_chunked(img_win, tm, ring_len: int):
+def _argmax_chunked(img_win, tm, ring_len: int, angle_mask=None):
     """Online argmax over a materialized (C, Wpx) template matrix."""
     c_total = tm.shape[0]
     chunk = _col_chunk(c_total, ring_len)
@@ -347,24 +359,20 @@ def _argmax_chunked(img_win, tm, ring_len: int):
         return jax.lax.dynamic_slice(tm, (i * chunk, 0),
                                      (chunk, tm.shape[1]))
 
-    return _online_argmax(img_win, cols_fn, c_total, chunk, ring_len)
+    return _online_argmax(img_win, cols_fn, c_total, chunk, ring_len,
+                          angle_mask=angle_mask)
 
 
-def _argmax_streamed(img_win, tbps, fids, oys, oxs, cfg, k_num: int):
-    """Online argmax with column chunks built on the fly from the padded
-    template blocks — the full (C, Wpx) matrix never materializes in
-    HBM (21 GB at K=64/90 px vs a ~500 MB block stack), lifting the
-    residency gate for large K.  Each chunk group's (m, s, k) decomposes
-    from its flat index; the shift's integer roll becomes a traced
-    dynamic_slice origin from the per-shift lookup tables.  The sliced
-    columns are bit-identical to the materialized matrix (both are the
-    same slices of the same blocks)."""
+def _stream_cols_fn(tbps, fids, oys, oxs, cfg, k_num: int, chunk: int):
+    """Build the streamed-column chunk reader over the padded template
+    blocks.  Each chunk group's (m, s, k) decomposes from its flat
+    index; the shift's integer roll becomes a traced dynamic_slice
+    origin from the per-shift lookup tables.  The sliced columns are
+    bit-identical to the materialized matrix (both are the same slices
+    of the same blocks)."""
     ring_len = cfg.ring_len
-    n_chan = 2 if cfg.mirror else 1
     s_num = cfg.n_shifts
     _, width, _ = template_geometry(cfg)
-    c_total = n_chan * s_num * k_num * ring_len
-    chunk = _col_chunk(c_total, ring_len)
     n_groups = chunk // ring_len
     fids_d = jnp.asarray(fids)
     oys_d = jnp.asarray(oys)
@@ -385,11 +393,121 @@ def _argmax_streamed(img_win, tbps, fids, oys, oxs, cfg, k_num: int):
             parts.append(blk.reshape(ring_len, width * width))
         return jnp.concatenate(parts, axis=0)
 
-    return _online_argmax(img_win, cols_fn, c_total, chunk, ring_len)
+    return cols_fn
+
+
+def _argmax_streamed(img_win, tbps, fids, oys, oxs, cfg, k_num: int,
+                     angle_mask=None):
+    """Online argmax with column chunks built on the fly from the padded
+    template blocks — the full (C, Wpx) matrix never materializes in
+    HBM (21 GB at K=64/90 px vs a ~500 MB block stack), lifting the
+    residency gate for large K."""
+    ring_len = cfg.ring_len
+    n_chan = 2 if cfg.mirror else 1
+    s_num = cfg.n_shifts
+    c_total = n_chan * s_num * k_num * ring_len
+    chunk = _col_chunk(c_total, ring_len)
+    cols_fn = _stream_cols_fn(tbps, fids, oys, oxs, cfg, k_num, chunk)
+    return _online_argmax(img_win, cols_fn, c_total, chunk, ring_len,
+                          angle_mask=angle_mask)
+
+
+def _online_shc(img_win, cols_fn, c_total: int, chunk: int, ring_len: int,
+                previousmax):
+    """SHC pick over streamed template columns.
+
+    The template column order [mirror][shift][ref][angle] IS the
+    reference priority order, so each chunk group's flat index
+    ``i * n_groups + g`` equals the global candidate priority
+    ``(m * S + s) * K + k`` — the SHC rule (first candidate whose
+    angle-peak beats ``previousmax``) is a running argmin over passing
+    group indices.  Returns (best_prio, best_val, winning row)."""
+    n = img_win.shape[0]
+    n_chunks = c_total // chunk
+    n_groups = chunk // ring_len
+    big = jnp.int32(2**31 - 1)
+
+    def body(i, carry):
+        best_prio, best_val, best_row = carry
+        cols = cols_fn(i)
+        scores = jnp.dot(img_win, cols.T,
+                         preferred_element_type=jnp.float32)
+        sg = scores.reshape(n, n_groups, ring_len)
+        gmax = jnp.max(sg, axis=-1)                   # (N, G)
+        passing = gmax > previousmax[:, None]
+        gprio = (jnp.arange(n_groups, dtype=jnp.int32)[None, :]
+                 + i * n_groups)
+        pm = jnp.where(passing, gprio, big)
+        gidx = jnp.argmin(pm, axis=1)
+        minp = jnp.take_along_axis(pm, gidx[:, None], axis=1)[:, 0]
+        val = jnp.take_along_axis(gmax, gidx[:, None], axis=1)[:, 0]
+        onehot = (jnp.arange(n_groups, dtype=jnp.int32)[None, :]
+                  == gidx[:, None]).astype(sg.dtype)
+        row = jnp.einsum("ngl,ng->nl", sg, onehot)
+        take = minp < best_prio
+        return (jnp.where(take, minp, best_prio),
+                jnp.where(take, val, best_val),
+                jnp.where(take[:, None], row, best_row))
+
+    init = (jnp.full((n,), big, jnp.int32),
+            jnp.full((n,), _NEG_INF, jnp.float32),
+            jnp.zeros((n, ring_len), jnp.float32))
+    if n_chunks == 1:
+        return body(0, init)
+    return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+def template_search_shc(images, ref_fw, params, cfg, previousmax, sf=None,
+                        stream: bool | None = None):
+    """SHC (stochastic hill climbing) via the template matmul — the same
+    pick as ``ops.search.rotational_shift_search_shc`` riding the MXU
+    engine (``random_method="SHC"`` semantics,
+    test_reffree_gpu_align.py:519-524,724).
+
+    Returns ``(SearchResult, found)``; non-improving particles carry
+    zero-filled fields and must keep their previous params."""
+    ring_len = cfg.ring_len
+    k_num = ref_fw.shape[0]
+    s_num = cfg.n_shifts
+    lo, width, _ = template_geometry(cfg)
+    if stream is None:
+        stream = (_template_matrix_bytes(cfg, k_num)
+                  + _template_blocks_bytes(cfg, k_num)
+                  > TEMPLATE_MATRIX_BUDGET_BYTES)
+
+    win = translate_window_mm(images, params.shift_x, params.shift_y,
+                              lo, width)
+    win = win.reshape(images.shape[0], -1).astype(jnp.bfloat16)
+    n_chan = 2 if cfg.mirror else 1
+    c_total = n_chan * s_num * k_num * ring_len
+    chunk = _col_chunk(c_total, ring_len)
+    if stream:
+        tbps, fids, oys, oxs = build_template_blocks(ref_fw, cfg, sf=sf)
+        cols_fn = _stream_cols_fn(tbps, fids, oys, oxs, cfg, k_num, chunk)
+    else:
+        tm = build_template_matrix(ref_fw, cfg, sf=sf)
+
+        def cols_fn(i):
+            return jax.lax.dynamic_slice(tm, (i * chunk, 0),
+                                         (chunk, tm.shape[1]))
+
+    prio, val, row = _online_shc(win, cols_fn, c_total, chunk, ring_len,
+                                 previousmax)
+    found = prio < jnp.int32(2**31 - 1)
+    safe = jnp.where(found, prio, 0)
+    ridx = (safe % k_num).astype(jnp.int32)
+    rest = safe // k_num
+    sidx = (rest % s_num).astype(jnp.int32)
+    midx = (rest // s_num).astype(jnp.int32)
+    aidx = jnp.argmax(row, axis=-1).astype(jnp.int32)
+    return SearchResult(best_val=val, best_row=row, best_aidx=aidx,
+                        best_sidx=sidx, best_ref=ridx,
+                        best_mirror=midx), found
 
 
 def template_search(images, ref_fw, params, cfg, sf=None,
-                    stream: bool | None = None) -> SearchResult:
+                    stream: bool | None = None,
+                    angle_mask=None) -> SearchResult:
     """Full (mirror x shift x ref x angle) search via the template
     matmul.  Drop-in replacement for ``rotational_shift_search_mm``
     (same SearchResult contract, same priority order).
@@ -397,7 +515,8 @@ def template_search(images, ref_fw, params, cfg, sf=None,
     ``stream=None`` materializes the (C, Wpx) template matrix when it
     fits the HBM budget and streams column chunks straight from the
     padded template blocks otherwise (large K) — both produce
-    bit-identical scores."""
+    bit-identical scores.  ``angle_mask`` restricts the angle argmax to
+    discrete bins (the --dst search; decode with ``refine=False``)."""
     ring_len = cfg.ring_len
     k_num = ref_fw.shape[0]
     s_num = cfg.n_shifts
@@ -409,16 +528,18 @@ def template_search(images, ref_fw, params, cfg, sf=None,
                   + _template_blocks_bytes(cfg, k_num)
                   > TEMPLATE_MATRIX_BUDGET_BYTES)
 
-    img_t = translate_bilinear_mm(images, params.shift_x, params.shift_y)
-    win = img_t[:, lo:lo + width, lo:lo + width]
+    win = translate_window_mm(images, params.shift_x, params.shift_y,
+                              lo, width)
     win = win.reshape(images.shape[0], -1).astype(jnp.bfloat16)
     if stream:
         tbps, fids, oys, oxs = build_template_blocks(ref_fw, cfg, sf=sf)
         best_val, idx, row = _argmax_streamed(win, tbps, fids, oys, oxs,
-                                              cfg, k_num)
+                                              cfg, k_num,
+                                              angle_mask=angle_mask)
     else:
         tm = build_template_matrix(ref_fw, cfg, sf=sf)
-        best_val, idx, row = _argmax_chunked(win, tm, ring_len)
+        best_val, idx, row = _argmax_chunked(win, tm, ring_len,
+                                             angle_mask=angle_mask)
 
     aidx = (idx % ring_len).astype(jnp.int32)
     rest = idx // ring_len

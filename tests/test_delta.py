@@ -94,6 +94,91 @@ def test_delta_matches_oracle(stack, refs, search_fn):
             delta - float(new.angle[i]) % delta < 1e-3
 
 
+def test_delta_fused_matches_matmul(stack, refs):
+    """The fused Pallas kernel takes the mask in-kernel (r4): winners and
+    masked peaks must match the XLA matmul path on a ring_len=256 config
+    (the kernel's specialization)."""
+    from cryo_ralib_tpu.ops.fused_search import fused_search, fused_supported
+
+    cfg = _cfg(ring_len=256)
+    assert fused_supported(cfg, refs.shape[0])
+    mask = delta_angle_mask(cfg.ring_len, 45.0, cfg.mode)
+    params = AlignParams.zeros(stack.shape[0])
+    rfw = prepare_ref_spectra(jnp.asarray(refs), cfg)
+    r_mm = rotational_shift_search_mm(jnp.asarray(stack), rfw, params, cfg,
+                                      fast=True, angle_mask=jnp.asarray(mask))
+    r_fu = fused_search(jnp.asarray(stack), rfw, params, cfg,
+                        interpret=True, angle_mask=mask)
+    np.testing.assert_array_equal(np.asarray(r_fu.best_aidx),
+                                  np.asarray(r_mm.best_aidx))
+    np.testing.assert_array_equal(np.asarray(r_fu.best_sidx),
+                                  np.asarray(r_mm.best_sidx))
+    np.testing.assert_array_equal(np.asarray(r_fu.best_ref),
+                                  np.asarray(r_mm.best_ref))
+    np.testing.assert_array_equal(np.asarray(r_fu.best_mirror),
+                                  np.asarray(r_mm.best_mirror))
+    va = np.asarray(r_mm.best_val)
+    np.testing.assert_allclose(np.asarray(r_fu.best_val), va,
+                               atol=5e-3 * np.abs(va).max())
+    # masked bins never win
+    assert set(np.asarray(r_fu.best_aidx)) <= set(
+        delta_angle_bins(cfg.ring_len, 45.0, cfg.mode).tolist())
+
+
+def test_delta_template_matches_oracle(stack, refs):
+    """The template engine's online argmax takes the mask (r4)."""
+    from cryo_ralib_tpu.ops.template_search import (template_search,
+                                                    template_supported)
+
+    cfg = _cfg()
+    assert template_supported(cfg, refs.shape[0])
+    delta = 90.0
+    mask = delta_angle_mask(cfg.ring_len, delta, cfg.mode)
+    params = AlignParams.zeros(stack.shape[0])
+    rfw = prepare_ref_spectra(jnp.asarray(refs), cfg)
+    res = template_search(jnp.asarray(stack), rfw, params, cfg,
+                          angle_mask=mask)
+    new = decode_params(res, params, cfg, refine=False)
+    for i in range(stack.shape[0]):
+        want = oracle.align_particle_np(
+            stack[i].astype(np.float64), refs.astype(np.float64),
+            cfg.polar_coords, cfg.ring_weights, cfg.shifts,
+            0.0, 0.0, cfg.shift_limit, delta=delta)
+        assert int(new.mirror[i]) == want["mirror"], i
+        assert int(new.ref_id[i]) == want["ref_id"], i
+        assert abs(float(new.shift_x[i]) - want["shift_x"]) < 1e-4
+        assert abs(float(new.angle[i]) - want["angle"]) < 5e-3
+    # streamed path produces identical winners (same slices, same mask)
+    res_s = template_search(jnp.asarray(stack), rfw, params, cfg,
+                            angle_mask=mask, stream=True)
+    for f in ("best_aidx", "best_sidx", "best_ref", "best_mirror"):
+        np.testing.assert_array_equal(np.asarray(getattr(res_s, f)),
+                                      np.asarray(getattr(res, f)), err_msg=f)
+
+
+def test_delta_step_keeps_fast_sampler(stack, refs):
+    """align_step no longer downgrades fused/template under a mask."""
+    from cryo_ralib_tpu.models.steps import align_step
+
+    cfg = _cfg(ring_len=256)
+    mask = delta_angle_mask(cfg.ring_len, 90.0, cfg.mode)
+    n = stack.shape[0]
+    gidx = jnp.arange(n, dtype=jnp.int32)
+    valid = jnp.ones((n,), jnp.float32)
+    outs = {}
+    for sampler in ("template", "gather"):
+        out = align_step(jnp.asarray(stack), jnp.asarray(refs),
+                         AlignParams.zeros(n), gidx, valid, cfg,
+                         n_classes=refs.shape[0], sampler=sampler,
+                         angle_mask=jnp.asarray(mask))
+        outs[sampler] = out
+    np.testing.assert_array_equal(np.asarray(outs["template"].params.ref_id),
+                                  np.asarray(outs["gather"].params.ref_id))
+    np.testing.assert_allclose(np.asarray(outs["template"].params.angle),
+                               np.asarray(outs["gather"].params.angle),
+                               atol=5e-3)
+
+
 def test_engine_discrete_iterate(stack):
     """iterate(discrete=True) snaps angles; discrete=False refines."""
     from cryo_ralib_tpu.models.engine import AlignmentEngine
