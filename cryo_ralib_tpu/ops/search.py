@@ -293,6 +293,76 @@ def rotational_shift_search_mm(
     return result
 
 
+_SHC_BIG = 2**31 - 1
+
+
+def _shc_init(n: int, ring_len: int):
+    """Initial (SearchResult, best_prio) carry for the SHC fold."""
+    return (
+        SearchResult(
+            best_val=jnp.full((n,), _NEG_INF, jnp.float32),
+            best_row=jnp.zeros((n, ring_len), jnp.float32),
+            best_aidx=jnp.zeros((n,), jnp.int32),
+            best_sidx=jnp.zeros((n,), jnp.int32),
+            best_ref=jnp.zeros((n,), jnp.int32),
+            best_mirror=jnp.zeros((n,), jnp.int32),
+        ),
+        jnp.full((n,), jnp.int32(_SHC_BIG), jnp.int32),
+    )
+
+
+def _shc_fold(carry, rows, global_sidx, s_total: int, previousmax):
+    """Fold one chunk of ccf rows into the running SHC pick.
+
+    ``rows``: (N, M, C, K, L); ``global_sidx``: (C,) int32 global
+    shift-grid indices of the chunk candidates.  The SHC rule keeps the
+    candidate with the MINIMUM global priority ``(m * S + sidx) * K + k``
+    whose peak-over-angles beats ``previousmax`` — chunk order therefore
+    does not matter (the fold is a running min).
+    """
+    best, best_prio = carry
+    n, n_mirr, chunk, k_dim, ring_len = rows.shape
+    big = jnp.int32(_SHC_BIG)
+
+    # per-candidate peak over angles; global priority per candidate
+    rmax = jnp.max(rows, axis=-1)                    # (N, M, C, K)
+    m_i = jnp.arange(n_mirr, dtype=jnp.int32)[:, None, None]
+    c_g = jnp.asarray(global_sidx, jnp.int32)[None, :, None]
+    k_i = jnp.arange(k_dim, dtype=jnp.int32)[None, None, :]
+    prio = (m_i * s_total + c_g) * k_dim + k_i       # (M, C, K)
+
+    passing = rmax > previousmax[:, None, None, None]
+    pm = jnp.where(passing, prio[None], big)
+    flatp = pm.reshape(n, -1)
+    idx = jnp.argmin(flatp, axis=1)
+    minp = jnp.take_along_axis(flatp, idx[:, None], axis=1)[:, 0]
+
+    val = jnp.take_along_axis(rmax.reshape(n, -1), idx[:, None],
+                              axis=1)[:, 0]
+    row = jnp.take_along_axis(
+        rows.reshape(n, n_mirr * chunk * k_dim, ring_len),
+        idx[:, None, None], axis=1)[:, 0, :]
+    aidx = jnp.argmax(row, axis=-1).astype(jnp.int32)
+
+    # decode the *global* priority index (the sidx is already global)
+    ridx = (minp % k_dim).astype(jnp.int32)
+    rest = minp // k_dim
+    sidx = (rest % s_total).astype(jnp.int32)
+    midx = (rest // s_total).astype(jnp.int32)
+
+    better = minp < best_prio
+    sel = lambda new, old: jnp.where(better, new, old)
+    new_best = SearchResult(
+        best_val=sel(val, best.best_val),
+        best_row=jnp.where(better[:, None], row, best.best_row),
+        best_aidx=sel(aidx, best.best_aidx),
+        best_sidx=sel(sidx, best.best_sidx),
+        best_ref=sel(ridx, best.best_ref),
+        best_mirror=sel(midx, best.best_mirror),
+    )
+    return (new_best, jnp.minimum(minp, best_prio))
+
+
 def rotational_shift_search_shc(
     images,
     ref_fw,
@@ -315,6 +385,10 @@ def rotational_shift_search_shc(
     reference scans in random order, this implementation is deterministic
     (priority order) — same hill-climbing contract, reproducible tests.
 
+    This is the exact-gather sampling engine (fast on CPU); the TPU fast
+    paths are ``rotational_shift_search_shc_mm`` and
+    ``ops.template_search.template_search_shc`` (same fold, same pick).
+
     Returns ``(SearchResult, found)`` where ``found`` is a (N,) bool mask;
     particles with no improving candidate keep zero-filled result fields
     and the caller must retain their old params (and previousmax).
@@ -323,7 +397,6 @@ def rotational_shift_search_shc(
     ring_len = cfg.ring_len
     shifts = cfg.shifts
     s_total = shifts.shape[0]
-    k_dim = ref_fw.shape[0]
     chunk = max(1, min(shift_chunk, s_total))
     n_chunks = math.ceil(s_total / chunk)
     pad = n_chunks * chunk - s_total
@@ -339,22 +412,9 @@ def rotational_shift_search_shc(
     shifts_dev = jnp.asarray(shifts_padded)
     mask_dev = jnp.asarray(np.where(valid > 0, 0.0, _NEG_INF).astype(np.float32))
 
-    big = jnp.int32(2**31 - 1)
-    n_mirr = 2 if cfg.mirror else 1
-    init = (
-        SearchResult(
-            best_val=jnp.full((n,), _NEG_INF, jnp.float32),
-            best_row=jnp.zeros((n, ring_len), jnp.float32),
-            best_aidx=jnp.zeros((n,), jnp.int32),
-            best_sidx=jnp.zeros((n,), jnp.int32),
-            best_ref=jnp.zeros((n,), jnp.int32),
-            best_mirror=jnp.zeros((n,), jnp.int32),
-        ),
-        jnp.full((n,), big, jnp.int32),
-    )
+    init = _shc_init(n, ring_len)
 
     def body(carry, xs):
-        best, best_prio = carry
         chunk_idx, chunk_shifts, chunk_mask = xs
         sx = params.shift_x[:, None] + chunk_shifts[None, :, 0]
         sy = params.shift_y[:, None] + chunk_shifts[None, :, 1]
@@ -368,46 +428,10 @@ def rotational_shift_search_shc(
         if not cfg.mirror:
             mirr_f = None
         rows = ccf_rows(orig_f, mirr_f, ring_len)  # (N, M, C, K, L)
+        # padded candidates: -inf rows never beat previousmax
         rows = rows + chunk_mask[None, None, :, None, None]
-
-        # per-candidate peak over angles; global priority per candidate
-        rmax = jnp.max(rows, axis=-1)                    # (N, M, C, K)
         gs = chunk_idx * chunk + jnp.arange(chunk, dtype=jnp.int32)
-        m_i = jnp.arange(n_mirr, dtype=jnp.int32)[:, None, None]
-        c_g = gs[None, :, None]
-        k_i = jnp.arange(k_dim, dtype=jnp.int32)[None, None, :]
-        prio = (m_i * s_total + c_g) * k_dim + k_i       # (M, C, K)
-
-        passing = rmax > previousmax[:, None, None, None]
-        pm = jnp.where(passing, prio[None], big)
-        flatp = pm.reshape(n, -1)
-        idx = jnp.argmin(flatp, axis=1)
-        minp = jnp.take_along_axis(flatp, idx[:, None], axis=1)[:, 0]
-
-        val = jnp.take_along_axis(rmax.reshape(n, -1), idx[:, None],
-                                  axis=1)[:, 0]
-        row = jnp.take_along_axis(
-            rows.reshape(n, n_mirr * chunk * k_dim, ring_len),
-            idx[:, None, None], axis=1)[:, 0, :]
-        aidx = jnp.argmax(row, axis=-1).astype(jnp.int32)
-
-        # decode the *global* priority index (the sidx is already global)
-        ridx = (minp % k_dim).astype(jnp.int32)
-        rest = minp // k_dim
-        sidx = (rest % s_total).astype(jnp.int32)
-        midx = (rest // s_total).astype(jnp.int32)
-
-        better = minp < best_prio
-        sel = lambda new, old: jnp.where(better, new, old)
-        new_best = SearchResult(
-            best_val=sel(val, best.best_val),
-            best_row=jnp.where(better[:, None], row, best.best_row),
-            best_aidx=sel(aidx, best.best_aidx),
-            best_sidx=sel(sidx, best.best_sidx),
-            best_ref=sel(ridx, best.best_ref),
-            best_mirror=sel(midx, best.best_mirror),
-        )
-        return (new_best, jnp.minimum(minp, best_prio)), None
+        return _shc_fold(carry, rows, gs, s_total, previousmax), None
 
     xs = (jnp.arange(n_chunks, dtype=jnp.int32), shifts_dev, mask_dev)
     if n_chunks == 1:
@@ -415,7 +439,62 @@ def rotational_shift_search_shc(
     else:
         carry, _ = jax.lax.scan(body, init, xs)
     result, best_prio = carry
-    return result, best_prio < big
+    return result, best_prio < _SHC_BIG
+
+
+def rotational_shift_search_shc_mm(
+    images,
+    ref_fw,
+    params: AlignParams,
+    cfg: AlignConfig,
+    previousmax,
+    tables: PolarTables | None = None,
+    per_particle_ref: bool = False,
+    fast: bool = True,
+):
+    """Gather-free SHC search (TPU fast path).
+
+    Same hill-climbing pick as ``rotational_shift_search_shc`` (the fold
+    is shared), same sampling engine as ``rotational_shift_search_mm``:
+    bilinear pre-translate + constant tent matmuls per dy-group.  The
+    pick is a running min over global candidate priorities, so the
+    dy-group chunk order is immaterial.
+    """
+    if tables is None:
+        tables = build_polar_tables(cfg)
+    n = images.shape[0]
+    ring_len = cfg.ring_len
+    n_dy = tables.n_dy
+    s_total = cfg.n_shifts
+
+    img_t = translate_bilinear_mm(images, params.shift_x, params.shift_y)
+    wy_stack = jnp.asarray(tables.wy)
+    wx_all = jnp.asarray(tables.wx)
+    init = _shc_init(n, ring_len)
+
+    def body(carry, xs):
+        yi, wy_slice = xs
+        polar = polar_group_mm(img_t, wy_slice, wx_all,
+                               cfg.ring_num, ring_len, fast=fast)
+        sbj_f = ring_spectra(polar)
+        if per_particle_ref:
+            orig_f, mirr_f = ccf_spectra_per_particle_ref(
+                sbj_f, ref_fw, params.ref_id)
+        else:
+            orig_f, mirr_f = ccf_spectra(sbj_f, ref_fw)
+        if not cfg.mirror:
+            mirr_f = None
+        rows = ccf_rows(orig_f, mirr_f, ring_len)  # (N, M, n_dx, K, L)
+        gs = jnp.arange(tables.n_dx, dtype=jnp.int32) * n_dy + yi
+        return _shc_fold(carry, rows, gs, s_total, previousmax), None
+
+    xs = (jnp.arange(n_dy, dtype=jnp.int32), wy_stack)
+    if n_dy == 1:
+        carry, _ = body(init, (jnp.int32(0), wy_stack[0]))
+    else:
+        carry, _ = jax.lax.scan(body, init, xs)
+    result, best_prio = carry
+    return result, best_prio < _SHC_BIG
 
 
 def decode_params(

@@ -148,6 +148,74 @@ def test_shc_first_above_matches_oracle(stack, refs):
         0.0, 0.0, cfg.shift_limit, float(pm[0])) is None
 
 
+def test_shc_fast_engines_match_gather(stack, refs):
+    """The r4 SHC fast paths (matmul tent sampling, template matmul)
+    share the priority fold with the gather engine: picks must agree on
+    structured stacks (VERDICT r3 weak #1)."""
+    from cryo_ralib_tpu.ops.search import rotational_shift_search_shc_mm
+    from cryo_ralib_tpu.ops.template_search import template_search_shc
+
+    cfg = _cfg()
+    n = stack.shape[0]
+    params = AlignParams.zeros(n)
+    rfw = prepare_ref_spectra(jnp.asarray(refs), cfg)
+    res0 = rotational_shift_search(jnp.asarray(stack), rfw, params, cfg)
+    peaks = np.asarray(res0.best_val)
+    pm = np.full(n, 1.0e-23, np.float32)
+    pm[0] = peaks[0] * 2.0          # no candidate passes -> nope
+    pm[1] = peaks[1] * 0.9          # only near-peak candidates pass
+
+    ref_res, ref_found = rotational_shift_search_shc(
+        jnp.asarray(stack), rfw, params, cfg, jnp.asarray(pm))
+    for name, (res, found) in {
+        "matmul": rotational_shift_search_shc_mm(
+            jnp.asarray(stack), rfw, params, cfg, jnp.asarray(pm),
+            fast=False),
+        "template": template_search_shc(
+            jnp.asarray(stack), rfw, params, cfg, jnp.asarray(pm)),
+    }.items():
+        np.testing.assert_array_equal(np.asarray(found),
+                                      np.asarray(ref_found), err_msg=name)
+        f = np.asarray(ref_found)
+        for fld in ("best_sidx", "best_ref", "best_mirror", "best_aidx"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(res, fld))[f],
+                np.asarray(getattr(ref_res, fld))[f],
+                err_msg=f"{name}:{fld}")
+        va = np.asarray(ref_res.best_val)[f]
+        np.testing.assert_allclose(np.asarray(res.best_val)[f], va,
+                                   atol=5e-3 * np.abs(va).max(),
+                                   err_msg=name)
+
+
+def test_shc_step_sampler_parity(stack):
+    """align_step_shc produces the same params/nope for every engine."""
+    cfg = _cfg()
+    n = stack.shape[0]
+    imgs = jnp.asarray(stack)
+    ref = jnp.asarray(stack.mean(0)[None])
+    gidx = jnp.arange(n, dtype=jnp.int32)
+    valid = jnp.ones((n,), jnp.float32)
+    pm = jnp.full((n,), 1.0e-23, jnp.float32)
+    outs = {}
+    for sampler in ("gather", "matmul", "template"):
+        outs[sampler] = align_step_shc(imgs, ref, AlignParams.zeros(n),
+                                       gidx, valid, pm, cfg, n_classes=1,
+                                       sampler=sampler)
+    base = outs["gather"]
+    for sampler in ("matmul", "template"):
+        out = outs[sampler]
+        assert int(out.nope) == int(base.nope), sampler
+        np.testing.assert_array_equal(np.asarray(out.step.params.mirror),
+                                      np.asarray(base.step.params.mirror))
+        np.testing.assert_allclose(np.asarray(out.step.params.angle),
+                                   np.asarray(base.step.params.angle),
+                                   atol=0.1, err_msg=sampler)
+        np.testing.assert_allclose(np.asarray(out.previousmax),
+                                   np.asarray(base.previousmax), rtol=5e-3,
+                                   err_msg=sampler)
+
+
 def test_shc_step_keeps_nonimprovers_and_counts_nope(stack):
     # zero shift range: iteration 2 sees the identical candidate table
     # (with shifts the accumulated recentering legitimately re-improves)
