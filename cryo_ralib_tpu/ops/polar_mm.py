@@ -111,14 +111,20 @@ def build_polar_tables(cfg, x_window: tuple[int, int] | None = None
                        ring_len=cfg.ring_len)
 
 
-def _tent_rows_traced(shift, size: int, dtype):
-    """(N,) traced shifts -> (N, size, size) tent matrices via iota
-    comparisons (no gathers): M[n, a, b] = tent weight of (a + shift_n)
-    at b, clamp-to-edge."""
-    a = jnp.arange(size, dtype=jnp.float32)[None, :]  # target index
+def _tent_rows_traced(shift, size: int, dtype, offset: int = 0,
+                      out_size: int | None = None):
+    """(N,) traced shifts -> (N, out_size, size) tent matrices via iota
+    comparisons (no gathers): M[n, a, b] = tent weight of
+    (offset + a + shift_n) at b, clamp-to-edge.  ``offset``/``out_size``
+    restrict the output rows to a window [offset, offset + out_size) of
+    the target grid (the translate+window fusion of the template
+    engine)."""
+    if out_size is None:
+        out_size = size
+    a = jnp.arange(out_size, dtype=jnp.float32)[None, :] + float(offset)
     v = jnp.clip(a + shift[:, None].astype(jnp.float32), 0.0, size - 1.0)
     j0 = jnp.floor(v)
-    f = v - j0  # (N, size)
+    f = v - j0  # (N, out_size)
     b = jnp.arange(size, dtype=jnp.float32)[None, None, :]
     j0e = j0[:, :, None]
     j1e = jnp.minimum(j0e + 1.0, size - 1.0)
@@ -138,6 +144,38 @@ def translate_bilinear_mm(images, shift_x, shift_y):
     n, h, w = images.shape
     ty = _tent_rows_traced(jnp.asarray(shift_y), h, images.dtype)  # (N,H,H)
     tx = _tent_rows_traced(jnp.asarray(shift_x), w, images.dtype)  # (N,W,W)
+    out = jnp.einsum("nab,nbw->naw", ty, images, precision=_HP)
+    return jnp.einsum("naw,nxw->nax", out, tx, precision=_HP)
+
+
+def translate_window_mm(images, shift_x, shift_y, lo: int, width: int,
+                        fast: bool = True):
+    """Fused accumulated-shift translate + central-window extraction:
+    ``out[n, a, b] = bilinear(img_n, lo + a + shift_y_n,
+    lo + b + shift_x_n)`` for a, b in [0, width) — algebraically
+    ``translate_bilinear_mm(...)[:, lo:lo+width, lo:lo+width]`` but the
+    tent matmuls only produce the window rows/columns (the template
+    engine's pre-translate, VERDICT r3 next #1a: the full-image
+    translate wasted ~(H/width)^2 x the work and ran at f32-HIGHEST).
+
+    ``fast`` runs bf16 x bf16 -> f32 (MXU native).  For integer shifts
+    the tents are one-hot, so fast mode is exactly the bf16 cast of the
+    exact window — bit-identical to what the bf16 search matmul consumed
+    before; fractional accumulated shifts add the usual ~0.4% bf16
+    interpolation noise (same order as the CUDA texture lerp).
+    """
+    n, h, w = images.shape
+    dtype = jnp.bfloat16 if fast else images.dtype
+    ty = _tent_rows_traced(jnp.asarray(shift_y), h, dtype,
+                           offset=lo, out_size=width)   # (N, width, H)
+    tx = _tent_rows_traced(jnp.asarray(shift_x), w, dtype,
+                           offset=lo, out_size=width)   # (N, width, W)
+    if fast:
+        kw = dict(preferred_element_type=jnp.float32)
+        out = jnp.einsum("nab,nbw->naw", ty, images.astype(jnp.bfloat16),
+                         **kw)
+        out = jnp.einsum("naw,nxw->nax", out.astype(jnp.bfloat16), tx, **kw)
+        return out
     out = jnp.einsum("nab,nbw->naw", ty, images, precision=_HP)
     return jnp.einsum("naw,nxw->nax", out, tx, precision=_HP)
 

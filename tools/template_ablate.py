@@ -36,14 +36,19 @@ Every timing uses a host fetch as the completion barrier
 includes the ~44 ms tunnel dispatch cost; compare stages to each
 other, not to zero.
 
-Measured on v5e (90 px, K=8, S=49, N=8192, post-r3-outage):
+Measured on v5e (90 px, K=8, S=49, N=8192, post-r3-outage).  NB: the
+first four rows and the mm_* rows come from two separate sessions on a
+shared host — compare within a group; cross-group deltas carry a few ms
+of rerun noise (ADVICE r3: 175.6 - 151.8 = 23.8 ms is NOT the epilogue
+cost; the same-session mm_argmax/search deltas below are):
 
   full 182 ms (45.0k pps), search 175.6, build 48.6, translate ~77
   (stages share the dispatch cost; the production path hoists sf)
   mm_only 151.8 ms  -> the score matmul alone runs at ~72% of bf16
                        peak and dominates the search stage
-  mm_argmax ~+6 ms, full epilogue (argmax + one-hot row capture)
-            ~+11 ms over mm_only -> the epilogue is NOT the lever
+  mm_argmax ~+6 ms over mm_only (same session), full epilogue (argmax +
+            one-hot row capture) ~+11 ms over mm_only (same session)
+            -> the epilogue is NOT the lever
   search_c2560 ~3% under c2048 once, within rerun noise -> chunk
             target stays 2048
   (negative) a minor-axis jnp.take of the (8192, 6561) window at
@@ -129,9 +134,18 @@ def main():
     rfw = jax.jit(lambda r: prepare_ref_spectra(r, cfg))(refs)
     lo, width, _ = ts.template_geometry(cfg)
 
-    from cryo_ralib_tpu.ops.polar_mm import translate_bilinear_mm
+    from cryo_ralib_tpu.ops.polar_mm import (translate_bilinear_mm,
+                                             translate_window_mm)
 
     def _win(images):
+        # the production r4 pre-translate: window-restricted bf16 tents
+        w = translate_window_mm(images, params.shift_x, params.shift_y,
+                                lo, width)
+        return w.reshape(images.shape[0], -1).astype(jnp.bfloat16)
+
+    def _win_r3(images):
+        # the r3 full-image f32-HIGHEST translate + slice (stage
+        # "translate_r3"), kept for the before/after record
         img_t = translate_bilinear_mm(images, params.shift_x, params.shift_y)
         w = img_t[:, lo:lo + width, lo:lo + width]
         return w.reshape(images.shape[0], -1).astype(jnp.bfloat16)
@@ -155,6 +169,9 @@ def main():
             dt = _time(lambda: fn()[:2, :2, :2])
         elif mode == "translate":
             fn = jax.jit(_win)
+            dt = _time(lambda i: fn(i)[:8, :8], imgs)
+        elif mode == "translate_r3":
+            fn = jax.jit(_win_r3)
             dt = _time(lambda i: fn(i)[:8, :8], imgs)
         elif mode in ("mm_only", "mm_argmax"):
             if win_d is None:
