@@ -19,9 +19,12 @@ import numpy as np
 def add_common_flags(p: argparse.ArgumentParser, reffree: bool = False):
     """The reference optparse surface (test_mref_gpu_align.py:1142-1159,
     test_reffree_gpu_align.py:915-935), flag for flag."""
-    p.add_argument("--ir", type=int, default=1, help="inner ring radius")
+    p.add_argument("--ir", type=int, default=1,
+                   help="inner ring radius (Numrinit first_ring; honored "
+                        "since r4 — the reference GPU config ignores it)")
     p.add_argument("--ou", type=int, default=-1, help="outer ring radius")
-    p.add_argument("--rs", type=int, default=1, help="ring step")
+    p.add_argument("--rs", type=int, default=1,
+                   help="ring step (Numrinit rstep; honored since r4)")
     p.add_argument("--xr", type=float, default=0.0, help="x shift search range")
     p.add_argument("--yr", type=float, default=-1.0,
                    help="y shift search range (<0: use xr, like the "
@@ -66,8 +69,21 @@ def add_common_flags(p: argparse.ArgumentParser, reffree: bool = False):
     p.add_argument("--devices", type=int, default=0,
                    help="number of chips to shard over (0 = all)")
     p.add_argument("--sampler", default="auto",
-                   choices=["auto", "matmul", "gather"],
-                   help="sampling engine (matmul = TPU fast path)")
+                   choices=["auto", "fused", "template", "matmul", "gather"],
+                   help="sampling engine: fused = Pallas kernel "
+                        "(single-chip TPU), template = pixel-domain "
+                        "template matmul (TPU + GSPMD meshes), matmul = "
+                        "XLA tent-matmul fallback, gather = exact "
+                        "texture semantics (CPU); auto picks by backend "
+                        "and geometry")
+    p.add_argument("--ring_scheme", default="cuda",
+                   choices=["cuda", "eman2"],
+                   help="polar ring convention: cuda = uniform 256-sample "
+                        "rings with linear weights (the reference GPU "
+                        "scheme, default); eman2 = variable Numrinit rings "
+                        "+ ringwe weights (the EMAN2/SPHIRE CPU convention, "
+                        "test_mref_gpu_align.py:741-750) for CPU-exact "
+                        "numbers")
     p.add_argument("--resume", action="store_true",
                    help="continue from the checkpoint in outdir")
     p.add_argument("--header_writeback", action="store_true",

@@ -64,6 +64,7 @@ def main(argv=None):
         snr=args.snr, user_func_name=args.function,
         rand_seed=args.rand_seed, log=log, mesh=mesh,
         sampler=args.sampler, resume=args.resume,
+        ring_scheme=args.ring_scheme,
     )
     if args.header_writeback:
         writeback_headers(args.stack, res.params, res.assignments)

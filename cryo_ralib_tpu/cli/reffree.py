@@ -59,6 +59,7 @@ def main(argv=None):
         random_method=args.random_method, nomirror=args.nomirror,
         mode=args.mode, log=log, mesh=mesh,
         sampler=args.sampler, resume=args.resume,
+        ring_scheme=args.ring_scheme,
     )
     if args.header_writeback:
         writeback_headers(args.stack, res.params)

@@ -32,10 +32,18 @@ class AlignConfig:
 
     Attributes:
       img_dim:    square image side length in pixels (nx).
-      ring_num:   number of polar rings; ring i sits at radius i+1.
+      ring_num:   number of polar rings; ring i sits at radius
+                  ``first_ring + i * ring_step`` (defaults: radius i+1,
+                  the CUDA scheme).
       ring_len:   number of samples per ring (uniform across rings, unlike
                   EMAN2's variable-length Numrinit rings; matches the CUDA
                   path which hardcodes 256).
+      first_ring: radius of the innermost ring (the CLI ``--ir``; the
+                  reference GPU config ignores it, but its CPU twin honors
+                  ``Numrinit(first_ring, ...)``,
+                  test_mref_gpu_align.py:338 — here it is real behavior).
+      ring_step:  radius increment between rings (``--rs``,
+                  ``Numrinit(..., rstep)``).
       shift_step: step of the x/y shift grid (``ts``).
       shift_rng_x / shift_rng_y: inclusive +/- shift search ranges.
       mode: "F" full rings (the only mode the reference GPU path supports)
@@ -46,6 +54,14 @@ class AlignConfig:
       mirror: search the mirrored orientation channel (``--nomirror``
             disables it; the reference CPU twin's ``nomirror`` flag,
             test_reffree_gpu_align.py:921 — its GPU path always mirrors).
+      ring_scheme: "cuda" (default) = uniform ``ring_len`` samples per
+            ring with radius-linear weights — the reference GPU scheme;
+            "eman2" = the CPU twin's variable-length ``Numrinit`` rings
+            + ``ringwe`` weights (test_mref_gpu_align.py:741-750), for
+            users who need EMAN2-CPU-exact numbers.  Under "eman2" the
+            ``ring_len`` field is derived (maxrin, the longest ring) and
+            the search runs ``ops.eman_search`` (fused/template gate
+            themselves out).
     """
 
     img_dim: int
@@ -56,12 +72,27 @@ class AlignConfig:
     shift_rng_y: float = 0.0
     mode: str = "F"
     mirror: bool = True
+    first_ring: int = 1
+    ring_step: int = 1
+    ring_scheme: str = "cuda"
 
     def __post_init__(self):
         if self.img_dim <= 0:
             raise ValueError("img_dim must be positive")
         if self.ring_num <= 0:
             raise ValueError("ring_num must be positive")
+        if self.first_ring < 1:
+            raise ValueError("first_ring must be >= 1")
+        if self.ring_step < 1:
+            raise ValueError("ring_step must be >= 1")
+        if self.ring_scheme not in ("cuda", "eman2"):
+            raise ValueError("ring_scheme must be 'cuda' or 'eman2'")
+        if self.ring_scheme == "eman2":
+            if self.mode != "F":
+                raise ValueError("ring_scheme='eman2' supports full rings "
+                                 "only (mode='F')")
+            # ring_len is derived: maxrin of the Numrinit plan
+            object.__setattr__(self, "ring_len", self.eman_rings[-1][1])
         if self.ring_len % 2 != 0:
             raise ValueError("ring_len must be even (rfft over rings)")
         if self.shift_step <= 0:
@@ -71,27 +102,55 @@ class AlignConfig:
         # Same sanity check as the reference drivers
         # (test_mref_gpu_align.py:314-316): particle must not cross the
         # image boundary under the largest shift.
-        if self.ring_num + max(self.shift_rng_x, self.shift_rng_y) > (self.img_dim - 1) // 2:
+        if self.max_radius + max(self.shift_rng_x, self.shift_rng_y) > (self.img_dim - 1) // 2:
             raise ValueError(
                 "Shift or radius is too large - particle crosses image boundary"
             )
+
+    @property
+    def max_radius(self) -> int:
+        """Radius of the outermost ring (== ring_num at the defaults)."""
+        return self.first_ring + (self.ring_num - 1) * self.ring_step
+
+    @cached_property
+    def eman_rings(self) -> tuple:
+        """Numrinit ring plan [(radius, ring_len), ...] — the
+        ``ring_scheme="eman2"`` geometry (cryo_ralib_tpu/rings.py)."""
+        from .rings import numrinit
+
+        return tuple(numrinit(self.first_ring, self.max_radius,
+                              self.ring_step, self.mode))
+
+    @cached_property
+    def eman_ring_weights(self) -> np.ndarray:
+        """(ring_num,) ``ringwe`` weights of the eman2 scheme."""
+        from .rings import ringwe
+
+        return ringwe(list(self.eman_rings), self.mode).astype(np.float32)
+
+    @cached_property
+    def radii(self) -> np.ndarray:
+        """(ring_num,) ring radii: ``first_ring + i * ring_step``."""
+        return (self.first_ring
+                + np.arange(self.ring_num, dtype=np.float64) * self.ring_step)
 
     @cached_property
     def polar_coords(self) -> np.ndarray:
         """(ring_num, ring_len, 2) array of (x, y) offsets from image center.
 
-        Ring ``i`` lies at radius ``i+1``; sample ``j`` at angle
+        Ring ``i`` lies at radius ``first_ring + i * ring_step`` (radius
+        i+1 at the defaults); sample ``j`` at angle
         ``j / ring_len * 2*pi`` (mode "F") or ``j / ring_len * pi``
         (mode "H": the half-circle sampling of EMAN2's
         ``Polar2Dm(mode="H")``).  Equivalent of
         ``generate_polar_sampling_points`` (cuda/gpu_aln_common.cu:39-62).
         """
-        i = np.arange(self.ring_num, dtype=np.float64)[:, None]
+        r = self.radii[:, None]
         j = np.arange(self.ring_len, dtype=np.float64)[None, :]
         span = 2.0 * math.pi if self.mode == "F" else math.pi
         ang = j / float(self.ring_len) * span
-        x = np.cos(ang) * (i + 1.0)
-        y = np.sin(ang) * (i + 1.0)
+        x = np.cos(ang) * r
+        y = np.sin(ang) * r
         return np.stack([x, y], axis=-1).astype(np.float32)
 
     @cached_property
@@ -131,12 +190,13 @@ class AlignConfig:
         """(ring_num,) linear ring weights.
 
         The CUDA ccf kernels weight ring ``i`` by ``(i+1)``
-        (cuda/gpu_aln_noref.cu:978-981); this matches radius-proportional
-        weighting of the uniform-length rings.  (EMAN2's CPU path uses
-        ``ringwe`` weights over variable-length rings instead; we follow the
-        reference GPU behavior, see SURVEY.md §3.3.)
+        (cuda/gpu_aln_noref.cu:978-981) — radius-proportional weighting of
+        the uniform-length rings, generalized here to the ring's actual
+        radius for non-default first_ring/ring_step.  (EMAN2's CPU path
+        uses ``ringwe`` weights over variable-length rings instead; we
+        follow the reference GPU behavior, see SURVEY.md §3.3.)
         """
-        return (np.arange(self.ring_num, dtype=np.float32) + 1.0)
+        return self.radii.astype(np.float32)
 
     @property
     def angle_step(self) -> float:
@@ -150,9 +210,11 @@ class AlignConfig:
         """Clamp bound for accumulated per-particle shifts.
 
         Matches ``CcfResultTable::compute_alignment_param``:
-        ``img_dim - ring_num - 2`` (cuda/gpu_aln_noref.cu:2262).
+        ``img_dim - ring_num - 2`` (cuda/gpu_aln_noref.cu:2262), with
+        ring_num generalized to the outermost ring radius (identical at
+        the default first_ring/ring_step).
         """
-        return float(self.img_dim - self.ring_num - 2)
+        return float(self.img_dim - self.max_radius - 2)
 
 
 def _inclusive_range(rng: float, step: float) -> list[float]:

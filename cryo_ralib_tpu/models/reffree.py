@@ -79,6 +79,7 @@ def ali2d_base_tpu(
     sampler: str = "auto",
     batch_size: int | None = None,
     resume: bool = False,
+    ring_scheme: str = "cuda",
 ) -> RefFreeResult:
     """Align a particle stack to its iteratively refined global average.
 
@@ -118,7 +119,22 @@ def ali2d_base_tpu(
     max_iter = int(maxit) if int(maxit) else 10
     auto_stop = int(maxit) == 0
 
-    cfg = AlignConfig(img_dim=nx, ring_num=last_ring, ring_len=256,
+    # --ir/--rs ring plan, Numrinit(first_ring, last_ring, rstep)
+    # semantics of the CPU twin (test_reffree_gpu_align.py:714)
+    ir, rs = int(ir), int(rs)
+    if ir < 1 or rs < 1 or ir > last_ring:
+        raise ValueError(f"invalid ring plan: ir={ir} rs={rs} ou={last_ring}")
+    if int(center) > 1:
+        # fail at startup, not at the first reference update
+        # (ops/center.py documents the honor-or-reject policy)
+        raise ValueError(f"--center={int(center)} is not supported "
+                         "(reference-documented values: -1, 0, 1)")
+    n_rings = len(range(ir, last_ring + 1, rs))
+    if ring_scheme == "eman2" and random_method:
+        raise ValueError("ring_scheme='eman2' supports the standard "
+                         "search only (no SHC/SCF)")
+    cfg = AlignConfig(img_dim=nx, ring_num=n_rings, ring_len=256,
+                      first_ring=ir, ring_step=rs, ring_scheme=ring_scheme,
                       shift_step=float(ts), shift_rng_x=float(xr),
                       shift_rng_y=float(yr), mode=mode,
                       mirror=not nomirror)

@@ -1,0 +1,140 @@
+"""ring_scheme="eman2": variable Numrinit rings + ringwe as production.
+
+The CPU twin — the semantics contract of SURVEY.md §3.3 — aligns over
+``Numrinit`` variable-length rings with ``ringwe`` weights
+(test_mref_gpu_align.py:741-750); the reference GPU path (and this
+rebuild's default) uses the uniform-256 CUDA scheme.  Since r4 the
+EMAN2 convention is an opt-in production option (VERDICT r3 missing
+#1): ``ops/eman_search.py`` must match the oracle's
+``align_particle_eman_np`` exactly.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from cryo_ralib_tpu import AlignConfig, AlignParams
+from cryo_ralib_tpu.ops.search import decode_params
+from cryo_ralib_tpu.utils import oracle
+from tests.conftest import make_disc_stack
+
+NX = 64
+
+
+def _cfg(**kw):
+    base = dict(img_dim=NX, ring_num=18, ring_scheme="eman2",
+                shift_step=1.0, shift_rng_x=2.0, shift_rng_y=2.0)
+    base.update(kw)
+    return AlignConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def stack():
+    r = np.random.default_rng(61)
+    return make_disc_stack(r, 5, NX)
+
+
+@pytest.fixture(scope="module")
+def refs():
+    r = np.random.default_rng(95)
+    return make_disc_stack(r, 3, NX)
+
+
+def test_ring_plan_matches_oracle_copy():
+    """Production rings.py and the independent oracle copy agree."""
+    from cryo_ralib_tpu.rings import numrinit, ringwe
+
+    for first, last, skip in [(1, 18, 1), (3, 30, 2), (1, 36, 1)]:
+        a = numrinit(first, last, skip)
+        b = oracle.numrinit(first, last, skip)
+        assert a == b, (first, last, skip)
+        np.testing.assert_allclose(ringwe(a), oracle.ringwe(b))
+
+
+def test_eman_config_derives_ring_len():
+    cfg = _cfg()
+    rings = oracle.numrinit(1, 18)
+    assert cfg.eman_rings == tuple(rings)
+    assert cfg.ring_len == rings[-1][1]          # maxrin
+    np.testing.assert_allclose(cfg.eman_ring_weights,
+                               oracle.ringwe(rings), rtol=1e-6)
+    # fused/template gate themselves out; H-mode rejected
+    from cryo_ralib_tpu.ops.fused_search import fused_supported
+    from cryo_ralib_tpu.ops.template_search import template_supported
+
+    assert not fused_supported(cfg, 3)
+    assert not template_supported(cfg, 3)
+    with pytest.raises(ValueError, match="full rings"):
+        _cfg(mode="H")
+
+
+@pytest.mark.parametrize("sampler", ["gather", "matmul"])
+def test_eman_search_matches_oracle(stack, refs, sampler):
+    from cryo_ralib_tpu.ops.eman_search import (
+        prepare_ref_spectra_eman, rotational_shift_search_eman)
+
+    cfg = _cfg()
+    params = AlignParams.zeros(stack.shape[0])
+    ref_fwg = prepare_ref_spectra_eman(jnp.asarray(refs), cfg)
+    res = rotational_shift_search_eman(
+        jnp.asarray(stack), ref_fwg, params, cfg, sampler=sampler,
+        fast=False)
+    new = decode_params(res, params, cfg)
+    rings = list(cfg.eman_rings)
+    for i in range(stack.shape[0]):
+        want = oracle.align_particle_eman_np(
+            stack[i].astype(np.float64), refs.astype(np.float64),
+            rings, cfg.shifts, 0.0, 0.0, cfg.shift_limit)
+        assert int(new.mirror[i]) == want["mirror"], i
+        assert int(new.ref_id[i]) == want["ref_id"], i
+        assert abs(float(new.shift_x[i]) - want["shift_x"]) < 1e-4
+        assert abs(float(new.shift_y[i]) - want["shift_y"]) < 1e-4
+        assert abs(float(new.angle[i]) - want["angle"]) < 5e-3
+        assert abs(float(res.best_val[i]) - want["peak"]) \
+            < 1e-3 * abs(want["peak"])
+
+
+def test_eman_step_and_sampler_gate(stack, refs):
+    from cryo_ralib_tpu.models.steps import align_step
+
+    cfg = _cfg()
+    n = stack.shape[0]
+    gidx = jnp.arange(n, dtype=jnp.int32)
+    valid = jnp.ones((n,), jnp.float32)
+    out = align_step(jnp.asarray(stack), jnp.asarray(refs),
+                     AlignParams.zeros(n), gidx, valid, cfg,
+                     n_classes=refs.shape[0], sampler="gather")
+    assert int(out.counts.sum()) == n
+    with pytest.raises(ValueError, match="eman2"):
+        align_step(jnp.asarray(stack), jnp.asarray(refs),
+                   AlignParams.zeros(n), gidx, valid, cfg,
+                   n_classes=refs.shape[0], sampler="fused")
+
+
+def test_mref_driver_eman_scheme_end_to_end(tmp_path, stack, refs):
+    """One driver iteration under the eman2 scheme reproduces the oracle
+    per-particle search + decode (VERDICT r3 done-criterion: mref with
+    the EMAN2 scheme matches align_particle_eman_np end-to-end)."""
+    from cryo_ralib_tpu.models.mref import mref_ali2d_tpu
+    from cryo_ralib_tpu.ops.masks import model_circle, normalize_mask
+
+    res = mref_ali2d_tpu(stack, refs, outdir=str(tmp_path / "eman"),
+                         ou=18, xr=1.0, ts=1.0, maxit=1, sampler="gather",
+                         ring_scheme="eman2",
+                         user_func_name="ref_ali2d_no_filter")
+    # reproduce the driver's preprocessing, then the oracle search
+    mask = model_circle(18, NX)
+    data = np.asarray(normalize_mask(jnp.asarray(stack), jnp.asarray(mask),
+                                     no_sigma=False))
+    refn = np.asarray(normalize_mask(jnp.asarray(refs), jnp.asarray(mask),
+                                     no_sigma=True))
+    cfg = _cfg(shift_rng_x=1.0, shift_rng_y=1.0)
+    rings = list(cfg.eman_rings)
+    for i in range(stack.shape[0]):
+        want = oracle.align_particle_eman_np(
+            data[i].astype(np.float64), refn.astype(np.float64),
+            rings, cfg.shifts, 0.0, 0.0, cfg.shift_limit)
+        assert int(res.assignments[i]) == want["ref_id"], i
+        assert int(res.params[i, 3]) == want["mirror"], i
