@@ -60,6 +60,10 @@ from cryo_ralib_tpu.params import AlignParams
 
 NX = 90
 K = 8
+N_K64 = 1024
+N_SHC = 8192
+N_SCF = 2048
+N_256 = 512
 # production-like batch: cryo-EM stacks are 1e5-1e6 particles and the
 # per-dispatch fixed cost (~44 ms on this tunneled transport, dominated
 # by the ~32 ms RTT) amortizes with batch size — measured 38.5k pps at
@@ -77,12 +81,18 @@ if not _TPU_LIVE:
     # outage fallback: the CPU gather path is ~500x slower than the fused
     # TPU kernel; keep the degraded measurement inside the driver deadline
     N_DEV, N_SMALL, N_K32, N_BIG = 512, 512, 256, 256
+    N_K64, N_SHC, N_SCF, N_256 = 128, 256, 256, 64
 CFG = AlignConfig(img_dim=NX, ring_num=36, ring_len=256,
                   shift_step=1.0, shift_rng_x=3.0, shift_rng_y=3.0)
 # realistic-box row: 160 px / ou=48 runs fused through the 128-wide
 # central x-window (the reference handles arbitrary img_dim natively,
 # cuda/gpu_aln_common.h:48-54)
 CFG160 = AlignConfig(img_dim=160, ring_num=48, ring_len=256,
+                     shift_step=1.0, shift_rng_x=2.0, shift_rng_y=2.0)
+# big-box row: 256 px / ou=100 exceeds the fused kernel's 128-wide
+# x-window gate — the template engine is the documented big-box TPU path
+# (docs/benchmarks.md; VERDICT r3 next #8)
+CFG256 = AlignConfig(img_dim=256, ring_num=100, ring_len=256,
                      shift_step=1.0, shift_rng_x=2.0, shift_rng_y=2.0)
 
 def _peak_flops(dev) -> float | None:
@@ -194,7 +204,7 @@ def _accel_step_row(device, n, reps, k=K, update_ref=True, cfg=CFG):
                       update_ref=update_ref, cfg=cfg), "matmul"
 
 
-def _sustained_pps(device, n, n_iter=6, k=K):
+def _sustained_pps(device, n, n_iter=6, k=K, sampler="auto"):
     """Device-resident multi-iteration loop (models/device_loop.py): one
     dispatch amortizes the tunneled transport's ~44 ms fixed cost over
     all iterations — the sustained production rate (SURVEY.md §3.5)."""
@@ -206,7 +216,8 @@ def _sustained_pps(device, n, n_iter=6, k=K):
     gidx = jax.device_put(np.arange(n, dtype=np.int32), device)
     valid = jax.device_put(np.ones((n,), np.float32), device)
     loop = make_mref_device_loop(CFG, n_iter, k,
-                                 np.full(n_iter, 0.25, np.float32))
+                                 np.full(n_iter, 0.25, np.float32),
+                                 sampler=sampler)
     params = jax.device_put(AlignParams.zeros(n), device)
     out = loop(images, refs, params, gidx, valid)
     np.asarray(out[1][0, 0, 0])
@@ -218,6 +229,56 @@ def _sustained_pps(device, n, n_iter=6, k=K):
         np.asarray(out[1][0, 0, 0])
         times.append(time.perf_counter() - t0)
     return n * n_iter / float(np.median(times))
+
+
+def _shc_pps(device, n, reps=3):
+    """SHC step rate (random_method="SHC", the r4 fast path — template
+    engine on TPU): single-reference reffree-style workload with a
+    mid-range previousmax so the pick logic does real work."""
+    from cryo_ralib_tpu.models.steps import align_step_shc
+
+    images_np, refs_np = _batch(n, k=1)
+    images = jax.device_put(images_np, device)
+    refs = jax.device_put(refs_np[:1], device)
+    gidx = jax.device_put(np.arange(n, dtype=np.int32), device)
+    valid = jax.device_put(np.ones((n,), np.float32), device)
+    params = jax.device_put(AlignParams.zeros(n), device)
+    pm = jax.device_put(np.full(n, 1.0e-23, np.float32), device)
+    fn = jax.jit(partial(align_step_shc, cfg=CFG, n_classes=1))
+    out = fn(images, refs, params, gidx, valid, pm)
+    np.asarray(out.step.counts)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(images, refs, params, gidx, valid, pm)
+        np.asarray(out.step.counts)
+        times.append(time.perf_counter() - t0)
+    return n / float(np.median(times))
+
+
+def _scf_pps(device, n, reps=3):
+    """SCF step rate (random_method="SCF"): self-correlation rotation +
+    DFT-ccf translation (ops/scf.py), half rings, K=1."""
+    from cryo_ralib_tpu.models.steps import make_align_step_scf
+
+    cfg_h = AlignConfig(img_dim=NX, ring_num=36, ring_len=256, mode="H",
+                        shift_step=1.0, shift_rng_x=3.0, shift_rng_y=3.0)
+    images_np, refs_np = _batch(n, k=1)
+    images = jax.device_put(images_np, device)
+    refs = jax.device_put(refs_np[:1], device)
+    gidx = jax.device_put(np.arange(n, dtype=np.int32), device)
+    valid = jax.device_put(np.ones((n,), np.float32), device)
+    params = jax.device_put(AlignParams.zeros(n), device)
+    fn = make_align_step_scf(cfg_h, n_classes=1)
+    out = fn(images, refs, params, gidx, valid)
+    np.asarray(out.counts)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(images, refs, params, gidx, valid)
+        np.asarray(out.counts)
+        times.append(time.perf_counter() - t0)
+    return n / float(np.median(times))
 
 
 def _kernel_only_ms(device, n, k=K):
@@ -283,15 +344,22 @@ def main():
         except Exception as e:  # noqa: BLE001
             _warn(f"kernel-only timing failed ({type(e).__name__}: {e})")
 
-    # large-K row (BASELINE "large-K mref": K=32 unlocked by the r2 VMEM
-    # re-model; regressions on that path must be visible round-over-round)
+    # large-K rows (BASELINE "large-K mref": K=32 in one fused chunk,
+    # K=64 through the r3 chunked-fused merge — regressions on either
+    # path must be visible round-over-round)
     k32_pps = None
     k32_sampler = None
+    k64_pps = None
+    k64_sampler = None
     if on_accel:
         try:
             k32_pps, k32_sampler = _accel_step_row(dev, N_K32, reps=3, k=32)
         except Exception as e:  # noqa: BLE001
             _warn(f"K=32 row failed ({type(e).__name__}: {e})")
+        try:
+            k64_pps, k64_sampler = _accel_step_row(dev, N_K64, reps=3, k=64)
+        except Exception as e:  # noqa: BLE001
+            _warn(f"K=64 row failed ({type(e).__name__}: {e})")
 
     # sustained rate: 6 device-resident iterations in one dispatch
     sustained = None
@@ -311,10 +379,12 @@ def main():
         except Exception as e:  # noqa: BLE001
             _warn(f"160px row failed ({type(e).__name__}: {e})")
 
-    # template-matmul engine row (the GSPMD mesh fast path,
-    # ops/template_search.py): regressions on the multi-chip sampler
-    # must be visible even though the single-chip headline is fused
+    # template-matmul engine rows (the GSPMD mesh fast path,
+    # ops/template_search.py): the single-dispatch step rate
+    # (r3-comparable) plus the sustained device-resident rate — the
+    # apples-to-apples comparison against the fused headline
     tmpl_pps = None
+    tmpl_sustained = None
     if on_accel:
         from cryo_ralib_tpu.ops.template_search import template_supported
 
@@ -323,6 +393,36 @@ def main():
                 tmpl_pps = _time_step(dev, N_DEV, 8, 3, "template")
             except Exception as e:  # noqa: BLE001
                 _warn(f"template row failed ({type(e).__name__}: {e})")
+            try:
+                tmpl_sustained = _sustained_pps(dev, 8192,
+                                                sampler="template")
+            except Exception as e:  # noqa: BLE001
+                _warn(f"template sustained row failed "
+                      f"({type(e).__name__}: {e})")
+
+    # SHC fast path (r4) and SCF rows — the alignment-mode engines'
+    # TPU cost must be visible (VERDICT r3 weak #1/#6)
+    shc_pps = None
+    scf_pps = None
+    if on_accel:
+        try:
+            shc_pps = _shc_pps(dev, N_SHC)
+        except Exception as e:  # noqa: BLE001
+            _warn(f"SHC row failed ({type(e).__name__}: {e})")
+        try:
+            scf_pps = _scf_pps(dev, N_SCF)
+        except Exception as e:  # noqa: BLE001
+            _warn(f"SCF row failed ({type(e).__name__}: {e})")
+
+    # 256 px big-box row: beyond the fused x-window gate, the template
+    # engine is the documented big-box path (VERDICT r3 next #8)
+    big256_pps = None
+    if on_accel:
+        try:
+            big256_pps = _time_step(dev, N_256, 8, 3, "template", k=4,
+                                    cfg=CFG256)
+        except Exception as e:  # noqa: BLE001
+            _warn(f"256px row failed ({type(e).__name__}: {e})")
 
     # headline: sustained rate where measured (per-dispatch overhead on the
     # CPU proxy is negligible, so the ratio stays apples-to-apples)
@@ -367,9 +467,17 @@ def main():
             "mref_step_pps": round(accel_pps, 2),
             "mref_k32_pps": round(k32_pps, 2) if k32_pps else None,
             "mref_k32_sampler": k32_sampler,
+            "mref_k64_pps": round(k64_pps, 2) if k64_pps else None,
+            "mref_k64_sampler": k64_sampler,
             "mref_160px_pps": round(big_pps, 2) if big_pps else None,
             "mref_160px_sampler": big_sampler,
+            "mref_256px_template_pps": (round(big256_pps, 2)
+                                        if big256_pps else None),
             "mref_template_pps": round(tmpl_pps, 2) if tmpl_pps else None,
+            "mref_template_sustained_pps": (round(tmpl_sustained, 2)
+                                            if tmpl_sustained else None),
+            "shc_pps": round(shc_pps, 2) if shc_pps else None,
+            "scf_pps": round(scf_pps, 2) if scf_pps else None,
             "reffree_particles_per_sec": round(reffree_pps, 2),
             "reffree_sampler": reffree_sampler,
             "reffree_speedup_vs_cpu_proxy": round(reffree_pps / reffree_cpu, 2),
