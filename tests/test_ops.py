@@ -213,3 +213,34 @@ def test_per_particle_ref_search(cfg, stack):
         assert int(res.best_aidx[i]) == int(ri.best_aidx[0])
         assert int(res.best_sidx[i]) == int(ri.best_sidx[0])
         assert int(res.best_mirror[i]) == int(ri.best_mirror[0])
+
+
+def test_translate_window_matches_full_translate(stack):
+    """translate_window_mm == translate_bilinear_mm[window] — exact for
+    integer shifts (one-hot tents) in both precisions, bf16-close for
+    fractional ones (the template engine's r4 pre-translate)."""
+    from cryo_ralib_tpu.ops.polar_mm import (translate_bilinear_mm,
+                                             translate_window_mm)
+
+    n = stack.shape[0]
+    lo, width = 10, 41
+    rng = np.random.default_rng(5)
+    for shifts, exact in [
+        (rng.integers(-3, 4, (2, n)).astype(np.float32), True),
+        (rng.uniform(-2, 2, (2, n)).astype(np.float32), False),
+    ]:
+        sx, sy = jnp.asarray(shifts[0]), jnp.asarray(shifts[1])
+        full = translate_bilinear_mm(jnp.asarray(stack), sx, sy)
+        want = np.asarray(full)[:, lo:lo + width, lo:lo + width]
+        got_f32 = np.asarray(translate_window_mm(
+            jnp.asarray(stack), sx, sy, lo, width, fast=False))
+        np.testing.assert_allclose(got_f32, want, atol=1e-5)
+        got_bf16 = np.asarray(translate_window_mm(
+            jnp.asarray(stack), sx, sy, lo, width, fast=True), np.float32)
+        if exact:
+            # integer shifts: tents are one-hot, bf16 == cast of exact
+            np.testing.assert_array_equal(
+                got_bf16, want.astype(jnp.bfloat16).astype(np.float32))
+        else:
+            np.testing.assert_allclose(got_bf16, want, atol=2e-2,
+                                       rtol=2e-2)

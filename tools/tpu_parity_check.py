@@ -12,7 +12,14 @@ fractional-remainder group count).
 
 Run from the repo root on the TPU machine (JAX_PLATFORMS=axon):
 
-    timeout 570 python tools/tpu_parity_check.py
+    timeout 570 python tools/tpu_parity_check.py [case-indices...]
+
+Optional args select a subset of cases by index (e.g. ``0 1``) — after a
+code change invalidates the XLA disk cache, a full cold run can exceed a
+single timeout window (each compile ships MLIR through the tunnel AOT
+helper); chunked runs make monotonic progress because completed compiles
+are disk-cached across processes.  A timeout-killed run can wedge the
+TPU worker for minutes — probe with a tiny matmul before retrying.
 
 Exit code 0 = parity holds, 1 = mismatch, 2 = no TPU available (skip).
 """
@@ -66,7 +73,11 @@ def main() -> int:
          AlignConfig(img_dim=160, ring_num=48, ring_len=256, shift_step=1.0,
                      shift_rng_x=2.0, shift_rng_y=2.0), 4, "random"),
     ]
+    sel = [int(a) for a in sys.argv[1:]]
+    if sel:
+        cases = [cases[i] for i in sel]
     for name, n, cfg, k, kind in cases:
+        print(f"case {name} ...", flush=True)
         engines = []
         if fused_supported(cfg, k):
             engines.append(("fused",
