@@ -113,6 +113,64 @@ def test_eman_step_and_sampler_gate(stack, refs):
                    n_classes=refs.shape[0], sampler="fused")
 
 
+def test_eman_delta_mask_matches_oracle(stack, refs):
+    """--dst under the eman2 scheme: the maxrin-bin mask restricts the
+    angle argmax exactly like the cuda-scheme engines."""
+    from cryo_ralib_tpu.ops.eman_search import (
+        prepare_ref_spectra_eman, rotational_shift_search_eman)
+    from cryo_ralib_tpu.ops.search import delta_angle_mask
+
+    cfg = _cfg(shift_rng_x=1.0, shift_rng_y=1.0)
+    delta = 90.0
+    mask = delta_angle_mask(cfg.ring_len, delta, cfg.mode)
+    params = AlignParams.zeros(stack.shape[0])
+    ref_fwg = prepare_ref_spectra_eman(jnp.asarray(refs), cfg)
+    res = rotational_shift_search_eman(
+        jnp.asarray(stack), ref_fwg, params, cfg, sampler="gather",
+        fast=False, angle_mask=jnp.asarray(mask))
+    new = decode_params(res, params, cfg, refine=False)
+    ang = np.asarray(new.angle) % delta
+    assert np.all(np.minimum(ang, delta - ang) < 1e-3)
+
+
+def test_reffree_driver_eman_scheme(tmp_path, stack):
+    from cryo_ralib_tpu.models.reffree import ali2d_base_tpu
+
+    res = ali2d_base_tpu(stack, outdir=str(tmp_path / "rf"), ou=18,
+                         xr=1.0, ts=1.0, maxit=2, sampler="gather",
+                         ring_scheme="eman2",
+                         user_func_name="ref_ali2d_no_filter")
+    assert res.iterations == 2
+    with pytest.raises(ValueError, match="standard search"):
+        ali2d_base_tpu(stack, outdir=str(tmp_path / "rf2"), ou=18,
+                       maxit=1, random_method="SHC", ring_scheme="eman2",
+                       sampler="gather")
+
+
+def test_eman_scheme_with_ir_rs(stack, refs):
+    """Numrinit(first_ring=3, rstep=2) plan under the eman2 engine."""
+    from cryo_ralib_tpu.ops.eman_search import (
+        prepare_ref_spectra_eman, rotational_shift_search_eman)
+
+    cfg = AlignConfig(img_dim=NX, ring_num=9, first_ring=3, ring_step=2,
+                      ring_scheme="eman2", shift_step=1.0,
+                      shift_rng_x=1.0, shift_rng_y=1.0)
+    assert cfg.eman_rings == tuple(oracle.numrinit(3, 19, 2))
+    params = AlignParams.zeros(stack.shape[0])
+    ref_fwg = prepare_ref_spectra_eman(jnp.asarray(refs), cfg)
+    res = rotational_shift_search_eman(
+        jnp.asarray(stack), ref_fwg, params, cfg, sampler="gather",
+        fast=False)
+    new = decode_params(res, params, cfg)
+    rings = list(cfg.eman_rings)
+    for i in range(stack.shape[0]):
+        want = oracle.align_particle_eman_np(
+            stack[i].astype(np.float64), refs.astype(np.float64),
+            rings, cfg.shifts, 0.0, 0.0, cfg.shift_limit)
+        assert int(new.ref_id[i]) == want["ref_id"], i
+        assert abs(float(new.angle[i]) - want["angle"]) < 5e-3
+
+
 def test_mref_driver_eman_scheme_end_to_end(tmp_path, stack, refs):
     """One driver iteration under the eman2 scheme reproduces the oracle
     per-particle search + decode (VERDICT r3 done-criterion: mref with
