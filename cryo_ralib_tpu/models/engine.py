@@ -84,6 +84,14 @@ class AlignmentEngine:
                     and fused_supported(cfg, n_classes)
                     and (mesh is None or "ref" not in mesh.axis_names)):
                 plan_sampler = "fused"
+            elif sampler == "template" or (
+                    sampler == "auto"
+                    and _jax.default_backend() == "tpu"
+                    and (mesh is None or "ref" not in mesh.axis_names)):
+                from ..ops.template_search import template_supported
+
+                if template_supported(cfg, n_classes):
+                    plan_sampler = "template"
             batch_size = plan_batch_size(self.n, n_classes, cfg,
                                          n_devices=n_dev, verbose=verbose,
                                          sampler=plan_sampler)

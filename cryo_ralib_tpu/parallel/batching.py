@@ -85,6 +85,24 @@ def step_footprint(batch: int, n_refs: int, cfg, pad_to: int | None = None,
         polar_chunk = batch * hp * 128 * f32          # padded kernel input
         spectra = 0
         ccf_rows = batch * (128 + cfg.ring_len) * f32  # packed result
+    elif sampler == "template":
+        # template engine: bf16 window (translate_window_mm fuses the
+        # slice, no full-image copy), per-chunk score transient, and the
+        # batch-independent template blocks/matrix
+        from ..ops.template_search import (TEMPLATE_MATRIX_BUDGET_BYTES,
+                                           _template_blocks_bytes,
+                                           _template_matrix_bytes,
+                                           template_geometry)
+
+        _, width, _ = template_geometry(cfg)
+        translate = batch * width * width * 2 * 2   # tent mid + window bf16
+        polar_chunk = batch * 2048 * f32            # (N, chunk) scores
+        mtx = _template_matrix_bytes(cfg, n_refs)
+        blocks = _template_blocks_bytes(cfg, n_refs)
+        # the search streams from the blocks when the matrix won't fit
+        spectra = blocks
+        ccf_rows = (mtx if mtx + blocks <= TEMPLATE_MATRIX_BUDGET_BYTES
+                    else 0)
     else:
         # polar_group_mm: T (N, Q, W) in bf16 + polar chunk (N, n_dx, Q)
         polar_chunk = batch * q * h * 2 + batch * n_dx * q * f32

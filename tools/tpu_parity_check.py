@@ -102,15 +102,20 @@ def main() -> int:
             refs = jnp.asarray(
                 rng.standard_normal((k, cfg.img_dim, cfg.img_dim))
                 .astype(np.float32))
-        rfw = prepare_ref_spectra(refs, cfg)
+        # jit the prep/decode stages: run EAGERLY they are dozens of
+        # single-op programs, each a fresh tunnel AOT compile on a cold
+        # disk cache (measured: eager prep+decode turned one case into a
+        # >40 min run; jitted, the whole case is ~3 min cold)
+        rfw = jax.jit(lambda r: prepare_ref_spectra(r, cfg))(refs)
         params = AlignParams.zeros(n)
+        decode = jax.jit(lambda r: decode_params(r, params, cfg))
         r_mm = jax.jit(lambda i, r: rotational_shift_search_mm(
             i, r, params, cfg, fast=True))(imgs, rfw)
         # host fetch = the only reliable completion barrier on axon
         mm = {f: np.asarray(getattr(r_mm, f)) for f in
               ("best_ref", "best_sidx", "best_aidx", "best_mirror",
                "best_val")}
-        p_mm = decode_params(r_mm, params, cfg)
+        p_mm = decode(r_mm)
         for ename, efn in engines:
             r_fu = jax.jit(efn)(imgs, rfw)
             fu = {f: np.asarray(getattr(r_fu, f)) for f in mm}
@@ -143,7 +148,7 @@ def main() -> int:
                                "differ on well-separated structured data")
             if (vgap > vtol).any():
                 bad.append(f"best_val: max |d|={vgap.max():.3e} > {vtol:.3e}")
-            p_fu = decode_params(r_fu, params, cfg)
+            p_fu = decode(r_fu)
             d = np.abs(np.asarray(p_fu.angle) - np.asarray(p_mm.angle))
             d = np.minimum(d, 360.0 - d)[~diff]
             if d.size and d.max() > 0.05:
