@@ -60,10 +60,12 @@ from cryo_ralib_tpu.params import AlignParams
 
 NX = 90
 K = 8
-N_K64 = 1024
+# large batches amortize the tunnel's ~44 ms/dispatch fixed cost; at
+# 1024 particles that tax alone halved the measured K=64 rate
+N_K64 = 4096
 N_SHC = 8192
 N_SCF = 2048
-N_256 = 512
+N_256 = 2048
 # production-like batch: cryo-EM stacks are 1e5-1e6 particles and the
 # per-dispatch fixed cost (~44 ms on this tunneled transport, dominated
 # by the ~32 ms RTT) amortizes with batch size — measured 38.5k pps at

@@ -78,19 +78,26 @@ class AlignmentEngine:
 
             from ..ops.fused_search import fused_supported
 
-            plan_sampler = "matmul"
-            if (sampler in ("auto", "fused")
-                    and _jax.default_backend() == "tpu"
-                    and fused_supported(cfg, n_classes)
-                    and (mesh is None or "ref" not in mesh.axis_names)):
-                plan_sampler = "fused"
-            elif sampler == "template" or (
-                    sampler == "auto"
-                    and _jax.default_backend() == "tpu"
-                    and (mesh is None or "ref" not in mesh.axis_names)):
-                from ..ops.template_search import template_supported
+            # mirror the engine each step actually resolves to (SHC
+            # never runs fused; SCF runs matmul; eman2 runs its own
+            # matmul-shaped search) so the HBM footprint model matches
+            from ..ops.template_search import template_supported
 
-                if template_supported(cfg, n_classes):
+            plan_sampler = "matmul"
+            on_tpu = _jax.default_backend() == "tpu"
+            no_ref_axis = mesh is None or "ref" not in mesh.axis_names
+            if cfg.ring_scheme == "cuda" and on_tpu and no_ref_axis:
+                if random_method == "SHC":
+                    if (sampler in ("auto", "template")
+                            and template_supported(cfg, n_classes)):
+                        plan_sampler = "template"
+                elif random_method == "SCF":
+                    plan_sampler = "matmul"
+                elif (sampler in ("auto", "fused")
+                        and fused_supported(cfg, n_classes)):
+                    plan_sampler = "fused"
+                elif (sampler in ("auto", "template")
+                        and template_supported(cfg, n_classes)):
                     plan_sampler = "template"
             batch_size = plan_batch_size(self.n, n_classes, cfg,
                                          n_devices=n_dev, verbose=verbose,

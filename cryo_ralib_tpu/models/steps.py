@@ -99,58 +99,57 @@ def align_step(images, refs, params: AlignParams, global_index, valid,
         result = rotational_shift_search_eman(
             images, ref_fwg, params, cfg, sampler=sampler, fast=fast,
             angle_mask=angle_mask)
-        new_params = decode_params(result, params, cfg,
-                                   update_ref=update_ref,
-                                   refine=angle_mask is None)
-        if sampler == "matmul":
-            sums, counts = class_sum_transform_mm(
-                images, new_params, n_classes, global_index=global_index,
-                valid=valid, fast=fast)
-        else:
-            transformed = transform_batch(images, new_params)
-            sums, counts = class_sum_oe(transformed, new_params.ref_id,
-                                        n_classes, global_index=global_index,
-                                        valid=valid)
-        sx_sum, sy_sum = _header_shift_sums(new_params, valid)
-        if axis_name is not None:
-            sums = jax.lax.psum(sums, axis_name)
-            counts = jax.lax.psum(counts, axis_name)
-            sx_sum = jax.lax.psum(sx_sum, axis_name)
-            sy_sum = jax.lax.psum(sy_sum, axis_name)
-        peak = jnp.where(valid > 0, result.best_val, 0.0) \
-            if valid is not None else result.best_val
-        return StepOutput(new_params, sums, counts, peak, sx_sum, sy_sum)
-    if sampler == "auto":
-        if jax.default_backend() == "tpu":
+    else:
+        if sampler == "auto":
+            if jax.default_backend() == "tpu":
+                from ..ops.fused_search import fused_supported
+                from ..ops.template_search import template_supported
+
+                # the Pallas custom call does not partition under GSPMD,
+                # so sharded steps use the template/matmul path (mesh is
+                # not visible here; make_align_step downgrades before
+                # jit)
+                sampler = ("fused" if fused_supported(cfg, n_classes)
+                           else "template"
+                           if template_supported(cfg, n_classes)
+                           else "matmul")
+            else:
+                sampler = "gather"
+        elif sampler == "fused":
             from ..ops.fused_search import fused_supported
+
+            if not fused_supported(cfg, n_classes):
+                raise ValueError(
+                    "sampler='fused' forced on a config outside the fused "
+                    "kernel's geometry gate (ops.fused_search."
+                    "fused_supported) — use sampler='auto'")
+        elif sampler == "template":
             from ..ops.template_search import template_supported
 
-            # the Pallas custom call does not partition under GSPMD, so
-            # sharded steps use the template/matmul path (mesh is not
-            # visible here; make_align_step downgrades before jit)
-            sampler = ("fused" if fused_supported(cfg, n_classes)
-                       else "template" if template_supported(cfg, n_classes)
-                       else "matmul")
+            if not template_supported(cfg, n_classes):
+                raise ValueError(
+                    "sampler='template' forced on a config outside the "
+                    "template engine's geometry gate (ops.template_search."
+                    "template_supported) — use sampler='auto'")
+        ref_fw = prepare_ref_spectra(refs, cfg)
+        if sampler == "fused":
+            from ..ops.fused_search import fused_search
+
+            result = fused_search(images, ref_fw, params, cfg,
+                                  angle_mask=angle_mask)
+        elif sampler == "template":
+            from ..ops.template_search import template_search
+
+            result = template_search(images, ref_fw, params, cfg,
+                                     angle_mask=angle_mask)
+        elif sampler == "matmul":
+            result = rotational_shift_search_mm(images, ref_fw, params,
+                                                cfg, fast=fast,
+                                                angle_mask=angle_mask)
         else:
-            sampler = "gather"
-    ref_fw = prepare_ref_spectra(refs, cfg)
-    if sampler == "fused":
-        from ..ops.fused_search import fused_search
-
-        result = fused_search(images, ref_fw, params, cfg,
-                              angle_mask=angle_mask)
-    elif sampler == "template":
-        from ..ops.template_search import template_search
-
-        result = template_search(images, ref_fw, params, cfg,
-                                 angle_mask=angle_mask)
-    elif sampler == "matmul":
-        result = rotational_shift_search_mm(images, ref_fw, params, cfg,
-                                            fast=fast, angle_mask=angle_mask)
-    else:
-        result = rotational_shift_search(images, ref_fw, params, cfg,
-                                         shift_chunk=shift_chunk,
-                                         angle_mask=angle_mask)
+            result = rotational_shift_search(images, ref_fw, params, cfg,
+                                             shift_chunk=shift_chunk,
+                                             angle_mask=angle_mask)
     new_params = decode_params(result, params, cfg, update_ref=update_ref,
                                refine=angle_mask is None)
     if sampler in ("matmul", "fused", "template"):
@@ -200,6 +199,9 @@ def align_step_shc(images, refs, params: AlignParams, global_index, valid,
     geometry gate admits it (else matmul), gather elsewhere.  The pick
     rule is identical across engines (shared priority fold).
     """
+    if cfg.ring_scheme != "cuda":
+        raise ValueError("random_method='SHC' runs the standard ring "
+                         "scheme only (ring_scheme='cuda')")
     if sampler == "auto":
         if jax.default_backend() == "tpu":
             from ..ops.template_search import template_supported
@@ -208,10 +210,19 @@ def align_step_shc(images, refs, params: AlignParams, global_index, valid,
                        else "matmul")
         else:
             sampler = "gather"
-    if sampler == "fused":
-        # no SHC finalize in the fused Pallas kernel; template is the
-        # fast TPU engine for the SHC rule
-        sampler = "template"
+    elif sampler == "fused":
+        # no SHC finalize in the fused Pallas kernel; reject rather than
+        # silently substituting an engine (flag-honesty policy)
+        raise ValueError("sampler='fused' has no SHC variant — use "
+                         "sampler='template' (TPU fast path) or 'auto'")
+    elif sampler == "template":
+        from ..ops.template_search import template_supported
+
+        if not template_supported(cfg, n_classes):
+            raise ValueError(
+                "sampler='template' forced on a config outside the "
+                "template engine's geometry gate (ops.template_search."
+                "template_supported) — use sampler='auto'")
     ref_fw = prepare_ref_spectra(refs, cfg)
     if sampler == "template":
         from ..ops.template_search import template_search_shc
@@ -237,9 +248,18 @@ def align_step_shc(images, refs, params: AlignParams, global_index, valid,
         ref_id=jnp.where(keep, decoded.ref_id, params.ref_id),
     )
     new_prevmax = jnp.where(found, result.best_val, previousmax)
-    transformed = transform_batch(images, new_params)
-    sums, counts = class_sum_oe(transformed, new_params.ref_id, n_classes,
-                                global_index=global_index, valid=valid)
+    if sampler in ("matmul", "template"):
+        # fused FFT-shear transform + class sums (same rule as
+        # align_step: the transformed stack never hits HBM, and the
+        # bilinear-gather transform_batch is orders slower on TPU)
+        sums, counts = class_sum_transform_mm(
+            images, new_params, n_classes, global_index=global_index,
+            valid=valid, fast=fast)
+    else:
+        transformed = transform_batch(images, new_params)
+        sums, counts = class_sum_oe(transformed, new_params.ref_id,
+                                    n_classes, global_index=global_index,
+                                    valid=valid)
     sx_sum, sy_sum = _header_shift_sums(new_params, valid)
     v = valid if valid is not None else jnp.ones_like(previousmax)
     nope = jnp.sum(((~found) & (v > 0)).astype(jnp.int32))
@@ -292,13 +312,22 @@ def align_step_scf(images, refs, params: AlignParams, global_index, valid,
     iteration — the previous params are not composed in (the scf stage
     has no accumulated-shift center), so ``params`` only carries shapes.
     """
+    if cfg.ring_scheme != "cuda":
+        raise ValueError("random_method='SCF' runs the standard ring "
+                         "scheme only (ring_scheme='cuda')")
     from ..ops.scf import scf_align
 
     new_params, peak = scf_align(images, refs[0], cfg, sampler=sampler,
                                  fast=fast)
-    transformed = transform_batch(images, new_params)
-    sums, counts = class_sum_oe(transformed, new_params.ref_id, n_classes,
-                                global_index=global_index, valid=valid)
+    if sampler == "matmul":
+        sums, counts = class_sum_transform_mm(
+            images, new_params, n_classes, global_index=global_index,
+            valid=valid, fast=fast)
+    else:
+        transformed = transform_batch(images, new_params)
+        sums, counts = class_sum_oe(transformed, new_params.ref_id,
+                                    n_classes, global_index=global_index,
+                                    valid=valid)
     sx_sum, sy_sum = _header_shift_sums(new_params, valid)
     if axis_name is not None:
         sums = jax.lax.psum(sums, axis_name)
@@ -322,8 +351,13 @@ def make_align_step_scf(cfg: AlignConfig, n_classes: int, mesh=None,
     ccf maps, not a ring search.  So "auto" deliberately resolves to
     matmul on TPU (mesh-safe, pure XLA); the bench records scf_pps.
     """
-    if sampler in ("auto", "fused", "template"):
-        # the fused Pallas search has no scf variant; matmul covers TPU
+    if sampler in ("fused", "template"):
+        # neither engine has an scf variant (S=1, K=1 kills the
+        # template advantage; no Pallas scf finalize) — reject rather
+        # than silently substituting (flag-honesty policy)
+        raise ValueError(f"sampler={sampler!r} has no SCF variant — "
+                         "use sampler='auto' (matmul on TPU)")
+    if sampler == "auto":
         sampler = "matmul" if jax.default_backend() == "tpu" else "gather"
     fn = partial(align_step_scf, cfg=cfg, n_classes=n_classes,
                  sampler=sampler, fast=fast)

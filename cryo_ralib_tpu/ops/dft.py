@@ -90,8 +90,14 @@ def rfft_mm(x, axis: int = -1, fast: bool = False):
     return out
 
 
-def irfft_mm(X, n: int, axis: int = -1, fast: bool = False):
-    """np.fft.irfft-equivalent (normalized) via one real matmul on [Re|Im]."""
+def irfft_mm(X, n: int, axis: int = -1, fast: bool = False,
+             precision=None):
+    """np.fft.irfft-equivalent (normalized) via one real matmul on [Re|Im].
+
+    ``fast`` = bf16 x bf16 -> f32 (1-pass MXU, ~0.4% relative error);
+    ``precision`` overrides the default HIGHEST for the f32 path (e.g.
+    ``jax.lax.Precision.HIGH`` = 3-pass bf16, ~f32-accurate at half the
+    HIGHEST cost)."""
     if axis != -1:
         X = jnp.moveaxis(X, axis, -1)
     cr, ci = _irfft_mats(n)
@@ -102,7 +108,8 @@ def irfft_mm(X, n: int, axis: int = -1, fast: bool = False):
                          mat.astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
     else:
-        out = jnp.matmul(stacked, mat, precision=_HP)
+        out = jnp.matmul(stacked, mat,
+                         precision=_HP if precision is None else precision)
     if axis != -1:
         out = jnp.moveaxis(out, -1, axis)
     return out

@@ -70,6 +70,7 @@ def prepare_ref_spectra_eman(refs, cfg: AlignConfig):
     The ``ringwe`` weights are folded in (``Util.Applyws`` equivalent,
     test_mref_gpu_align.py:749)."""
     weights = cfg.eman_ring_weights
+    maxrin = cfg.ring_len
     out = []
     for ln, idx, coords in eman_groups(cfg):
         # K is small: full-precision tent matmuls via the gather-free
@@ -83,7 +84,14 @@ def prepare_ref_spectra_eman(refs, cfg: AlignConfig):
         pol = jnp.einsum("kqw,qw->kq", t, wx, precision=hp)
         pol = pol.reshape(refs.shape[0], idx.shape[0], ln)
         spec = ring_spectra(pol)                      # (K, R_g, F_g)
-        w = jnp.asarray(weights[idx])[None, :, None]
+        wrow = np.repeat(weights[idx][:, None], ln // 2 + 1, axis=1)
+        if ln < maxrin:
+            # a short ring's Nyquist lands on an INTERIOR bin of the
+            # maxrin ccf spectrum, which the final irfft doubles;
+            # Applyws pre-halves it (sp_alignment.Applyws: 0.5*w when
+            # numr3i != maxrin) so its net weight matches the long rings
+            wrow[:, -1] *= 0.5
+        w = jnp.asarray(wrow)[None]
         out.append(spec * w.astype(spec.real.dtype))
     return tuple(out)
 

@@ -47,7 +47,7 @@ from ..params import AlignParams
 from .dft import irfft2_mm, rfft2_mm
 from .search import (SearchResult, decode_params, prepare_ref_spectra,
                      rotational_shift_search, rotational_shift_search_mm)
-from .transform import transform_batch
+from .transform import transform_batch, transform_batch_mm
 
 
 def scf_batch(images):
@@ -111,11 +111,18 @@ def scf_align(images, ref, cfg: AlignConfig, sampler: str = "gather",
     for k in range(2):
         cand = (ang + 180.0 * k) % 360.0
         inv_ang = jnp.where(mirror == 1, cand, -cand)
-        invref = transform_batch(
-            jnp.broadcast_to(ref[None], (n, h, w)),
-            AlignParams(inv_ang.astype(jnp.float32),
-                        jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32),
-                        mirror, jnp.zeros(n, jnp.int32)))
+        inv_params = AlignParams(
+            inv_ang.astype(jnp.float32),
+            jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32),
+            mirror, jnp.zeros(n, jnp.int32))
+        ref_b = jnp.broadcast_to(ref[None], (n, h, w))
+        if sampler == "matmul":
+            # FFT-shear rotation on the MXU — the bilinear-gather
+            # transform_batch is orders slower on TPU and this stage
+            # runs it on the full batch twice
+            invref = transform_batch_mm(ref_b, inv_params, fast=fast)
+        else:
+            invref = transform_batch(ref_b, inv_params)
         # score(s) = sum_z invref(z) img(z+s) = ifft2(conj(IR) * I)(s)
         cc = irfft2_mm(jnp.conj(rfft2_mm(invref)) * img_f, (h, w))
         # circulant map: entry s lives at (s mod h); one static roll puts

@@ -235,11 +235,17 @@ def build_template_blocks(ref_fw, cfg, sf=None):
         sf_g = sfs[idx] if sfs is not None else \
             splat_spectra(cfg, frac=frac)
         g = jnp.einsum("krf,rfp->kpf", ref_fw, jnp.conj(sf_g))
-        tbo = irfft_mm(g, n=ring_len)             # (K, Wpx, L)
+        # HIGH (3-pass bf16, ~f32-accurate) halves the irfft's HIGHEST
+        # (6-pass) cost — the dominant build stage (VERDICT r3 next
+        # #1b).  The 1-pass bf16 path measured too noisy: its ~0.4%
+        # template error flips near-tie angle winners on random stacks
+        # (test_template_accumulated_fractional_shifts)
+        _HI = jax.lax.Precision.HIGH
+        tbo = irfft_mm(g, n=ring_len, precision=_HI)  # (K, Wpx, L)
         chans = [tbo]
         if cfg.mirror:
             h = jnp.einsum("krf,rfp->kpf", ref_fw, sf_g)
-            tbm = irfft_mm(h, n=ring_len)
+            tbm = irfft_mm(h, n=ring_len, precision=_HI)
             # angle index reversal (-l % L) = flip + roll (no gather)
             chans.append(jnp.roll(jnp.flip(tbm, axis=-1), 1, axis=-1))
         tb = jnp.stack(chans).transpose(0, 1, 3, 2)   # (M, K, L, Wpx)

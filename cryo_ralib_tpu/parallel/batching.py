@@ -95,7 +95,12 @@ def step_footprint(batch: int, n_refs: int, cfg, pad_to: int | None = None,
                                            template_geometry)
 
         _, width, _ = template_geometry(cfg)
-        translate = batch * width * width * 2 * 2   # tent mid + window bf16
+        h = cfg.img_dim
+        # translate_window_mm transients: two (N, width, H) bf16 tent
+        # operands, the (N, width, W) f32 mid product (+ bf16 cast), and
+        # the (N, width, width) window (f32 out + bf16 search operand)
+        translate = batch * (2 * width * h * 2 + width * h * (4 + 2)
+                             + width * width * (4 + 2))
         polar_chunk = batch * 2048 * f32            # (N, chunk) scores
         mtx = _template_matrix_bytes(cfg, n_refs)
         blocks = _template_blocks_bytes(cfg, n_refs)

@@ -378,8 +378,14 @@ def ccf_rows_eman_np(sbj_rings: list, ref_rings_list: list,
         for i, (s, ref_ring) in enumerate(zip(sf, ref_rings_list[kk])):
             rf = np.fft.rfft(ref_ring)
             nb = min(len(s), nf)
-            orig[:nb] += weights[i] * np.conj(s[:nb]) * rf[:nb]
-            mirr[:nb] += weights[i] * np.conj(s[:nb] * rf[:nb])
+            wb = np.full(nb, weights[i])
+            if nb < nf:
+                # a short ring's Nyquist lands on an INTERIOR bin of the
+                # maxrin spectrum, which irfft doubles; Applyws pre-halves
+                # it (sp_alignment.Applyws: 0.5*w when numr3i != maxrin)
+                wb[-1] *= 0.5
+            orig[:nb] += wb * np.conj(s[:nb]) * rf[:nb]
+            mirr[:nb] += wb * np.conj(s[:nb] * rf[:nb])
         out[0, kk] = np.fft.irfft(orig, n=maxrin)
         out[1, kk] = np.fft.irfft(mirr, n=maxrin)
     return out
