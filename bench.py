@@ -206,18 +206,18 @@ def _accel_step_row(device, n, reps, k=K, update_ref=True, cfg=CFG):
                       update_ref=update_ref, cfg=cfg), "matmul"
 
 
-def _sustained_pps(device, n, n_iter=6, k=K, sampler="auto"):
+def _sustained_pps(device, n, n_iter=6, k=K, sampler="auto", cfg=CFG):
     """Device-resident multi-iteration loop (models/device_loop.py): one
     dispatch amortizes the tunneled transport's ~44 ms fixed cost over
     all iterations — the sustained production rate (SURVEY.md §3.5)."""
     from cryo_ralib_tpu.models.device_loop import make_mref_device_loop
 
-    images_np, refs_np = _batch(n, k=k)
+    images_np, refs_np = _batch(n, k=k, nx=cfg.img_dim)
     images = jax.device_put(images_np, device)
     refs = jax.device_put(refs_np[:k], device)
     gidx = jax.device_put(np.arange(n, dtype=np.int32), device)
     valid = jax.device_put(np.ones((n,), np.float32), device)
-    loop = make_mref_device_loop(CFG, n_iter, k,
+    loop = make_mref_device_loop(cfg, n_iter, k,
                                  np.full(n_iter, 0.25, np.float32),
                                  sampler=sampler)
     params = jax.device_put(AlignParams.zeros(n), device)

@@ -315,6 +315,12 @@ def align_step_scf(images, refs, params: AlignParams, global_index, valid,
     if cfg.ring_scheme != "cuda":
         raise ValueError("random_method='SCF' runs the standard ring "
                          "scheme only (ring_scheme='cuda')")
+    if sampler in ("fused", "template"):
+        # neither engine has an scf variant (S=1, K=1 kills the
+        # template advantage; no Pallas scf finalize) — reject rather
+        # than silently substituting (flag-honesty policy)
+        raise ValueError(f"sampler={sampler!r} has no SCF variant — "
+                         "use sampler='auto' (matmul on TPU)")
     from ..ops.scf import scf_align
 
     new_params, peak = scf_align(images, refs[0], cfg, sampler=sampler,
@@ -351,13 +357,8 @@ def make_align_step_scf(cfg: AlignConfig, n_classes: int, mesh=None,
     ccf maps, not a ring search.  So "auto" deliberately resolves to
     matmul on TPU (mesh-safe, pure XLA); the bench records scf_pps.
     """
-    if sampler in ("fused", "template"):
-        # neither engine has an scf variant (S=1, K=1 kills the
-        # template advantage; no Pallas scf finalize) — reject rather
-        # than silently substituting (flag-honesty policy)
-        raise ValueError(f"sampler={sampler!r} has no SCF variant — "
-                         "use sampler='auto' (matmul on TPU)")
     if sampler == "auto":
+        # align_step_scf rejects fused/template (no scf variant)
         sampler = "matmul" if jax.default_backend() == "tpu" else "gather"
     fn = partial(align_step_scf, cfg=cfg, n_classes=n_classes,
                  sampler=sampler, fast=fast)

@@ -351,3 +351,46 @@ def test_reffree_driver_combined_flags(tmp_path, stack):
     assert os.path.exists(tmp_path / "combo" / "aqfinal.hdf")
     assert res.radial_variances and np.all(np.isfinite(res.radial_variances[-1]))
     assert np.isfinite(res.criteria[-1])
+
+
+def test_forced_sampler_gates_reject(stack, refs):
+    """Forced samplers validate their geometry gates instead of
+    computing silently wrong results (r4 code review): every accepted
+    --sampler value either has the engine's exact semantics or errors."""
+    from cryo_ralib_tpu.models.steps import align_step, align_step_scf
+    from cryo_ralib_tpu.ops.template_search import template_supported
+
+    n = stack.shape[0]
+    imgs = jnp.asarray(stack)
+    r = jnp.asarray(refs)
+    params = AlignParams.zeros(n)
+    gidx = jnp.arange(n, dtype=jnp.int32)
+    valid = jnp.ones((n,), jnp.float32)
+    # custom --ir ring plan: outside the fused kernel's banded y-plan
+    cfg_ir = _cfg(first_ring=3)
+    with pytest.raises(ValueError, match="fused"):
+        align_step(imgs, r, params, gidx, valid, cfg_ir,
+                   n_classes=r.shape[0], sampler="fused")
+    # window overflows the box: outside the template gate
+    cfg_big = _cfg(ring_num=29)
+    assert not template_supported(cfg_big, r.shape[0])
+    with pytest.raises(ValueError, match="template"):
+        align_step(imgs, r, params, gidx, valid, cfg_big,
+                   n_classes=r.shape[0], sampler="template")
+    # SHC: no fused variant; template gate also applies
+    pm = jnp.full((n,), 1e-23, jnp.float32)
+    with pytest.raises(ValueError, match="SHC"):
+        align_step_shc(imgs, r[:1], params, gidx, valid, pm, cfg=_cfg(),
+                       n_classes=1, sampler="fused")
+    with pytest.raises(ValueError, match="template"):
+        align_step_shc(imgs, r[:1], params, gidx, valid, pm, cfg=cfg_big,
+                       n_classes=1, sampler="template")
+    # SHC/SCF never run the eman2 ring scheme
+    cfg_e = _cfg(ring_scheme="eman2", mirror=True)
+    with pytest.raises(ValueError, match="ring "):
+        align_step_shc(imgs, r[:1], params, gidx, valid, pm, cfg=cfg_e,
+                       n_classes=1, sampler="gather")
+    # SCF: no fused/template variant
+    with pytest.raises(ValueError, match="SCF"):
+        align_step_scf(imgs, r[:1], params, gidx, valid,
+                       _cfg(mode="H"), n_classes=1, sampler="template")
