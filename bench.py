@@ -64,8 +64,10 @@ K = 8
 # 1024 particles that tax alone halved the measured K=64 rate
 N_K64 = 4096
 N_SHC = 8192
-N_SCF = 2048
-N_256 = 2048
+# SCF at 2048 paid ~30% dispatch tax (calibrated ~26 ms RTT per
+# dispatch, tools/e2e_ablate.py null row)
+N_SCF = 8192
+N_256 = 4096
 # production-like batch: cryo-EM stacks are 1e5-1e6 particles and the
 # per-dispatch fixed cost (~44 ms on this tunneled transport, dominated
 # by the ~32 ms RTT) amortizes with batch size — measured 38.5k pps at
@@ -75,8 +77,11 @@ N_256 = 2048
 # tunneled worker when compiled repeatedly)
 N_DEV = 16384
 N_SMALL = 8192
-N_K32 = 2048
-N_BIG = 2048
+N_K32 = 8192
+# 160 px: the calibrated stage map (tools/e2e_ablate.py) shows the
+# N=2048 row paid ~31% pure dispatch tax (~26 ms RTT vs ~55 ms
+# compute); 8192 drops the tax share under 10%
+N_BIG = 8192
 N_CPU = 128
 CPU_REPS = 5
 if not _TPU_LIVE:

@@ -23,7 +23,32 @@ sums (class_sum_transform_mm alone on decoded params), prep
 (prepare_ref_spectra alone).  Deltas are not additive (XLA overlaps);
 use them to rank.
 
-Measured maps land here (and in docs/benchmarks.md) as runs complete.
+r4 calibrated map (one v5e chip, N=2048, K=4, 160 px ou=48 xr=yr=2,
+fused; null row = 25.6 ms pure dispatch tax, subtracted): full
+~54.5 ms compute, search+decode ~24.6, sums ~28.3, prep ~0 — the
+stages add exactly, and the transform + class-sum stage costs MORE
+than the search at this box (pad-area model: 160 px pads to 256, 4x
+the 90 px transform traffic, while the search grows only with ring
+count).  Two consequences landed in r4: the bench's 160 px row moved
+to batch 8192 (at 2048 the ~26 ms dispatch tax alone was ~31% of the
+row), and the 160 px "kernel vs e2e gap" is attributed — it is the
+warp, not overhead, and its floor is real (below).  Uncalibrated
+timing pitfalls hit twice while building this tool: a host fetch of
+the (K, 2, 160, 160) sums inflated that row 2x (~30 MB/s tunnel), and
+jitting a first-leaf-only force let XLA dead-code the entire class-sum
+stage (full == search).  The production fix: reduce every output leaf
+to one scalar inside the jitted program.
+
+Graveyard (measured wrong, reverted): merging shear pass 1 (uniform
+y-translate syr) into passes 2/3 by argument compensation
+(t'(y) = a(y-cp-syr)+sxr, g'(x) = b(x-cp)+syr) — the continuous-
+coordinate substitution identity does NOT hold for the discrete chained
+ops: the row-dependent x-translate is diagonal in (y-space, x-freq),
+the column translate in (y-freq, x-space), so they do not commute;
+sinc interpolation along y mixes rows carrying different x-shifts.
+Direct check measured max|d| = 3.1 on white noise (pad 128, 17 deg,
+shifts ~2) — the 3-pass order is load-bearing, not an optimization
+target.
 """
 
 import os
@@ -44,13 +69,23 @@ from cryo_ralib_tpu.params import AlignParams
 
 
 def _time(fn, *args, reps=3):
-    out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])  # force (axon: no block)
+    """Time ``fn`` via a wrapper that returns only a tiny dependent real
+    slice — one dispatch, ~32-byte fetch (axon: block_until_ready does
+    not block; complex fetches are UNIMPLEMENTED; every dispatch costs
+    ~15-30 ms RTT, so the 'null' row calibrates the fixed tax)."""
+    def tiny(*a):
+        # reduce EVERY leaf fully — slicing just one lets XLA dead-code
+        # the rest of the program (measured: full == search-only)
+        leaves = jax.tree_util.tree_leaves(fn(*a))
+        return sum(jnp.sum(jnp.real(l).astype(jnp.float32)) for l in leaves)
+
+    fnw = jax.jit(tiny)
+    np.asarray(fnw(*args))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0])
+        out = fnw(*args)
+        np.asarray(out)
         times.append(time.perf_counter() - t0)
     return float(np.median(times)) * 1e3
 
@@ -59,7 +94,7 @@ def main():
     kw = {a.split("=")[0][2:]: int(a.split("=")[1])
           for a in sys.argv[1:] if a.startswith("--")}
     stages = [a for a in sys.argv[1:] if not a.startswith("--")] or [
-        "full", "search", "sums", "prep"]
+        "full", "search", "sums", "prep", "null"]
     nx = kw.get("nx", 160)
     n = kw.get("n", 2048)
     k = kw.get("k", 4)
@@ -96,6 +131,7 @@ def main():
         "sums": (jax.jit(lambda i, p: class_sum_transform_mm(
             i, p, k, global_index=gidx, valid=valid)), (imgs, decoded)),
         "prep": (jax.jit(lambda r: prepare_ref_spectra(r, cfg)), (refs,)),
+        "null": (jax.jit(lambda r: r * 2.0), (valid,)),
     }
     for s in stages:
         fn, args = fns[s]
