@@ -49,7 +49,10 @@ import sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
 from _tpu_guard import ensure_live_platform
 
-_TPU_LIVE = ensure_live_platform()
+# 240 s: slow-phase worker inits exceed the 180 s default (observed
+# r4: a probe at 200 s succeeded, the next process's 180 s probe timed
+# out); the CPU fallback rows still fit the driver's 580 s deadline
+_TPU_LIVE = ensure_live_platform(timeout_s=240.0)
 
 import jax
 import jax.numpy as jnp

@@ -402,22 +402,6 @@ def _stream_cols_fn(tbps, fids, oys, oxs, cfg, k_num: int, chunk: int):
     return cols_fn
 
 
-def _argmax_streamed(img_win, tbps, fids, oys, oxs, cfg, k_num: int,
-                     angle_mask=None):
-    """Online argmax with column chunks built on the fly from the padded
-    template blocks — the full (C, Wpx) matrix never materializes in
-    HBM (21 GB at K=64/90 px vs a ~500 MB block stack), lifting the
-    residency gate for large K."""
-    ring_len = cfg.ring_len
-    n_chan = 2 if cfg.mirror else 1
-    s_num = cfg.n_shifts
-    c_total = n_chan * s_num * k_num * ring_len
-    chunk = _col_chunk(c_total, ring_len)
-    cols_fn = _stream_cols_fn(tbps, fids, oys, oxs, cfg, k_num, chunk)
-    return _online_argmax(img_win, cols_fn, c_total, chunk, ring_len,
-                          angle_mask=angle_mask)
-
-
 def _online_shc(img_win, cols_fn, c_total: int, chunk: int, ring_len: int,
                 previousmax):
     """SHC pick over streamed template columns.
@@ -463,6 +447,40 @@ def _online_shc(img_win, cols_fn, c_total: int, chunk: int, ring_len: int,
     return jax.lax.fori_loop(0, n_chunks, body, init)
 
 
+def _search_operands(images, ref_fw, params, cfg, sf, stream):
+    """Shared preamble of the full and SHC template searches: the bf16
+    image window (accumulated shifts fused into the extraction by
+    ``translate_window_mm``) plus the column reader — a materialized
+    (C, Wpx) matrix when it fits the budget (the build holds blocks AND
+    matrix live at once, so their sum is budgeted), streamed block
+    slices otherwise.  Returns ``(win, cols_fn, c_total, chunk)``."""
+    ring_len = cfg.ring_len
+    k_num = ref_fw.shape[0]
+    lo, width, _ = template_geometry(cfg)
+    if stream is None:
+        stream = (_template_matrix_bytes(cfg, k_num)
+                  + _template_blocks_bytes(cfg, k_num)
+                  > TEMPLATE_MATRIX_BUDGET_BYTES)
+
+    win = translate_window_mm(images, params.shift_x, params.shift_y,
+                              lo, width)
+    win = win.reshape(images.shape[0], -1).astype(jnp.bfloat16)
+    n_chan = 2 if cfg.mirror else 1
+    c_total = n_chan * cfg.n_shifts * k_num * ring_len
+    chunk = _col_chunk(c_total, ring_len)
+    if stream:
+        tbps, fids, oys, oxs = build_template_blocks(ref_fw, cfg, sf=sf)
+        cols_fn = _stream_cols_fn(tbps, fids, oys, oxs, cfg, k_num, chunk)
+    else:
+        tm = build_template_matrix(ref_fw, cfg, sf=sf)
+
+        def cols_fn(i):
+            return jax.lax.dynamic_slice(tm, (i * chunk, 0),
+                                         (chunk, tm.shape[1]))
+
+    return win, cols_fn, c_total, chunk
+
+
 def template_search_shc(images, ref_fw, params, cfg, previousmax, sf=None,
                         stream: bool | None = None):
     """SHC (stochastic hill climbing) via the template matmul — the same
@@ -475,28 +493,8 @@ def template_search_shc(images, ref_fw, params, cfg, previousmax, sf=None,
     ring_len = cfg.ring_len
     k_num = ref_fw.shape[0]
     s_num = cfg.n_shifts
-    lo, width, _ = template_geometry(cfg)
-    if stream is None:
-        stream = (_template_matrix_bytes(cfg, k_num)
-                  + _template_blocks_bytes(cfg, k_num)
-                  > TEMPLATE_MATRIX_BUDGET_BYTES)
-
-    win = translate_window_mm(images, params.shift_x, params.shift_y,
-                              lo, width)
-    win = win.reshape(images.shape[0], -1).astype(jnp.bfloat16)
-    n_chan = 2 if cfg.mirror else 1
-    c_total = n_chan * s_num * k_num * ring_len
-    chunk = _col_chunk(c_total, ring_len)
-    if stream:
-        tbps, fids, oys, oxs = build_template_blocks(ref_fw, cfg, sf=sf)
-        cols_fn = _stream_cols_fn(tbps, fids, oys, oxs, cfg, k_num, chunk)
-    else:
-        tm = build_template_matrix(ref_fw, cfg, sf=sf)
-
-        def cols_fn(i):
-            return jax.lax.dynamic_slice(tm, (i * chunk, 0),
-                                         (chunk, tm.shape[1]))
-
+    win, cols_fn, c_total, chunk = _search_operands(images, ref_fw, params,
+                                                    cfg, sf, stream)
     prio, val, row = _online_shc(win, cols_fn, c_total, chunk, ring_len,
                                  previousmax)
     found = prio < jnp.int32(2**31 - 1)
@@ -526,26 +524,10 @@ def template_search(images, ref_fw, params, cfg, sf=None,
     ring_len = cfg.ring_len
     k_num = ref_fw.shape[0]
     s_num = cfg.n_shifts
-    lo, width, _ = template_geometry(cfg)
-    if stream is None:
-        # the materialized path holds blocks AND matrix live at once
-        # during the build — budget their sum, not the matrix alone
-        stream = (_template_matrix_bytes(cfg, k_num)
-                  + _template_blocks_bytes(cfg, k_num)
-                  > TEMPLATE_MATRIX_BUDGET_BYTES)
-
-    win = translate_window_mm(images, params.shift_x, params.shift_y,
-                              lo, width)
-    win = win.reshape(images.shape[0], -1).astype(jnp.bfloat16)
-    if stream:
-        tbps, fids, oys, oxs = build_template_blocks(ref_fw, cfg, sf=sf)
-        best_val, idx, row = _argmax_streamed(win, tbps, fids, oys, oxs,
-                                              cfg, k_num,
-                                              angle_mask=angle_mask)
-    else:
-        tm = build_template_matrix(ref_fw, cfg, sf=sf)
-        best_val, idx, row = _argmax_chunked(win, tm, ring_len,
-                                             angle_mask=angle_mask)
+    win, cols_fn, c_total, chunk = _search_operands(images, ref_fw, params,
+                                                    cfg, sf, stream)
+    best_val, idx, row = _online_argmax(win, cols_fn, c_total, chunk,
+                                        ring_len, angle_mask=angle_mask)
 
     aidx = (idx % ring_len).astype(jnp.int32)
     rest = idx // ring_len

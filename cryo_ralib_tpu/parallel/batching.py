@@ -118,8 +118,15 @@ def step_footprint(batch: int, n_refs: int, cfg, pad_to: int | None = None,
         ccf_rows = 2 * batch * n_dx * n_refs * cfg.ring_len * f32
     # FFT-shear transform: padded image + spectra (complex) x2 buffers
     transform = batch * (4 * pad_to * pad_to + 2 * pad_to * (pad_to + 2)) * f32
-    # constant tent tables (replicated per device)
-    tables = (cfg.shift_y_vals.size + cfg.shift_x_vals.size) * q * h * f32
+    # constant tent tables (replicated per device).  Only the matmul and
+    # fused paths allocate PolarTables-shaped constants; the template
+    # engine samples via translate_window_mm's traced tents + the blocks
+    # already counted above — charging it ~(n_dy+n_dx)*Q*H would shrink
+    # the planned batch by a phantom ~quarter-GiB at 256 px.
+    if sampler == "template":
+        tables = 0
+    else:
+        tables = (cfg.shift_y_vals.size + cfg.shift_x_vals.size) * q * h * f32
     return StepFootprint(images, translate, polar_chunk, spectra,
                          ccf_rows, transform, tables)
 

@@ -27,6 +27,22 @@ def test_plan_batch_size_monotone():
     assert plan_batch_size(64, 8, cfg) == 64
 
 
+def test_template_footprint_no_phantom_tables():
+    # the template engine never allocates the PolarTables constants — at
+    # big boxes the phantom ~quarter-GiB tables term shrank the planned
+    # batch below what the path can actually run (r4 review finding)
+    cfg = AlignConfig(img_dim=256, ring_num=100, ring_len=256,
+                      shift_step=1.0, shift_rng_x=2.0, shift_rng_y=2.0)
+    fp_t = step_footprint(2048, 4, cfg, sampler="template")
+    fp_m = step_footprint(2048, 4, cfg, sampler="matmul")
+    assert fp_t.tables == 0
+    assert fp_m.tables > 0
+    assert plan_batch_size(
+        10 ** 6, 4, cfg, limit_bytes=16 * 2 ** 30, sampler="template",
+    ) >= plan_batch_size(
+        10 ** 6, 4, cfg, limit_bytes=16 * 2 ** 30, sampler="matmul")
+
+
 def _engine_results(data, refs, cfg, k, batch_size, iters=2, mesh=None):
     eng = AlignmentEngine(data, cfg, n_classes=k, mesh=mesh,
                           sampler="gather", update_ref=True,

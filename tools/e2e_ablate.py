@@ -98,7 +98,10 @@ def main():
     nx = kw.get("nx", 160)
     n = kw.get("n", 2048)
     k = kw.get("k", 4)
-    ou = kw.get("ou", nx // 2 - 2 if nx <= 96 else 48 if nx == 160 else 100)
+    # small boxes: largest radius that passes AlignConfig's boundary
+    # check with shift_rng=2 (max_radius + shift_rng <= (nx-1)//2)
+    ou = kw.get("ou", (nx - 1) // 2 - 2 if nx <= 96
+                else 48 if nx == 160 else 100)
     sampler = {90: "fused", 160: "fused"}.get(nx, "template")
 
     cfg = AlignConfig(img_dim=nx, ring_num=ou, ring_len=256,

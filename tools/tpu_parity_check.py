@@ -44,7 +44,8 @@ def main() -> int:
 
     from cryo_ralib_tpu.config import AlignConfig
     from cryo_ralib_tpu.ops.fused_search import fused_search, fused_supported
-    from cryo_ralib_tpu.ops.search import (decode_params, prepare_ref_spectra,
+    from cryo_ralib_tpu.ops.search import (decode_params, delta_angle_mask,
+                                           prepare_ref_spectra,
                                            rotational_shift_search_mm)
     from cryo_ralib_tpu.ops.template_search import (template_search,
                                                     template_supported)
@@ -57,34 +58,44 @@ def main() -> int:
     # headline geometry on structured data (well-separated peaks: winners
     # must be identical), plus random-noise stacks (flat ccf landscape:
     # argmax near-ties are expected; a differing winner only counts as a
-    # failure when its score gap exceeds the tie tolerance) and one odd
-    # geometry (fractional step, odd box).
+    # failure when its score gap exceeds the tie tolerance), one odd
+    # geometry (fractional step, odd box), and one discrete-angle (--dst)
+    # case — the in-kernel fused mask and the template per-chunk mask are
+    # Mosaic-compiled only here (interpret-mode CI is not Mosaic).
     cases = [
         ("headline 90px K=8 xr=3 structured", 64,
          AlignConfig(img_dim=90, ring_num=36, ring_len=256, shift_step=1.0,
-                     shift_rng_x=3.0, shift_rng_y=3.0), 8, "structured"),
+                     shift_rng_x=3.0, shift_rng_y=3.0), 8, "structured",
+         None),
         ("headline 90px K=8 xr=3 random", 64,
          AlignConfig(img_dim=90, ring_num=36, ring_len=256, shift_step=1.0,
-                     shift_rng_x=3.0, shift_rng_y=3.0), 8, "random"),
+                     shift_rng_x=3.0, shift_rng_y=3.0), 8, "random", None),
         ("odd 75px K=2 ts=0.5", 24,
          AlignConfig(img_dim=75, ring_num=20, ring_len=256, shift_step=0.5,
-                     shift_rng_x=1.0, shift_rng_y=1.0), 2, "random"),
+                     shift_rng_x=1.0, shift_rng_y=1.0), 2, "random", None),
         ("big box 160px K=4 ou=48", 24,
          AlignConfig(img_dim=160, ring_num=48, ring_len=256, shift_step=1.0,
-                     shift_rng_x=2.0, shift_rng_y=2.0), 4, "random"),
+                     shift_rng_x=2.0, shift_rng_y=2.0), 4, "random", None),
+        ("masked 90px K=4 delta=15 (--dst)", 24,
+         AlignConfig(img_dim=90, ring_num=36, ring_len=256, shift_step=1.0,
+                     shift_rng_x=2.0, shift_rng_y=2.0), 4, "random", 15.0),
     ]
     sel = [int(a) for a in sys.argv[1:]]
     if sel:
         cases = [cases[i] for i in sel]
-    for name, n, cfg, k, kind in cases:
+    for name, n, cfg, k, kind, delta in cases:
         print(f"case {name} ...", flush=True)
+        mask = (None if delta is None
+                else delta_angle_mask(cfg.ring_len, delta))
         engines = []
         if fused_supported(cfg, k):
             engines.append(("fused",
-                            lambda i, r: fused_search(i, r, params, cfg)))
+                            lambda i, r: fused_search(i, r, params, cfg,
+                                                      angle_mask=mask)))
         if template_supported(cfg, k):
             engines.append(("template",
-                            lambda i, r: template_search(i, r, params, cfg)))
+                            lambda i, r: template_search(i, r, params, cfg,
+                                                         angle_mask=mask)))
         if not engines:
             print(f"SKIP case {name}: no fast engine supports it")
             continue
@@ -108,9 +119,12 @@ def main() -> int:
         # >40 min run; jitted, the whole case is ~3 min cold)
         rfw = jax.jit(lambda r: prepare_ref_spectra(r, cfg))(refs)
         params = AlignParams.zeros(n)
-        decode = jax.jit(lambda r: decode_params(r, params, cfg))
+        # masked searches decode the exact bin (refine=False), mirroring
+        # models/steps.py — prb1d would read -inf at masked neighbors
+        decode = jax.jit(lambda r: decode_params(r, params, cfg,
+                                                 refine=mask is None))
         r_mm = jax.jit(lambda i, r: rotational_shift_search_mm(
-            i, r, params, cfg, fast=True))(imgs, rfw)
+            i, r, params, cfg, fast=True, angle_mask=mask))(imgs, rfw)
         # host fetch = the only reliable completion barrier on axon
         mm = {f: np.asarray(getattr(r_mm, f)) for f in
               ("best_ref", "best_sidx", "best_aidx", "best_mirror",
