@@ -56,6 +56,13 @@ cost; the same-session mm_argmax/search deltas below are):
             on the tunneled worker -> pixel packing must be built
             from contiguous slices, not gathers
 
+  (negative, r4) mm_pad 159.8 ms vs mm_only 149.9 same-session: zero-
+            padding both operands' contraction dim to the next 128
+            multiple (6561 -> 6656) is exact but SLOWER (+6.6% for
+            +1.4% FLOPs) — the misaligned minor dim costs nothing on
+            this backend; ~72-73% of bf16 peak is the ceiling for this
+            shape, not an alignment artifact.
+
 Conclusion: the only real lever left in the search stage is cutting
 matmul FLOPs themselves — e.g. dropping the ~21% of window pixels
 outside the ring+shift support disc (square-corner pixels), which
@@ -173,7 +180,7 @@ def main():
         elif mode == "translate_r3":
             fn = jax.jit(_win_r3)
             dt = _time(lambda i: fn(i)[:8, :8], imgs)
-        elif mode in ("mm_only", "mm_argmax"):
+        elif mode in ("mm_only", "mm_argmax", "mm_pad"):
             if win_d is None:
                 win_d = jax.jit(_win)(imgs)
                 tm_d = jax.jit(
@@ -181,6 +188,18 @@ def main():
                 np.asarray(win_d[:1, :1].astype(jnp.float32))
                 np.asarray(tm_d[:1, :1].astype(jnp.float32))
             capture = mode == "mm_argmax"
+            if mode == "mm_pad":
+                # lane-align the contraction dim (Wpx 6561 -> next 128
+                # multiple) with zero columns — semantically exact; probes
+                # whether the misaligned minor dim costs MXU efficiency
+                wpx = win_d.shape[1]
+                wpad = (-wpx) % 128
+                win_p = jnp.pad(win_d, ((0, 0), (0, wpad)))
+                tm_p = jnp.pad(tm_d, ((0, 0), (0, wpad)))
+                np.asarray(win_p[:1, :1].astype(jnp.float32))
+                np.asarray(tm_p[:1, :1].astype(jnp.float32))
+            else:
+                win_p, tm_p = win_d, tm_d
 
             def _mm(w, t, capture=capture):
                 c_total = t.shape[0]
@@ -205,7 +224,7 @@ def main():
                 return jax.lax.fori_loop(0, c_total // chunk, body, init)
 
             fn = jax.jit(_mm)
-            dt = _time(lambda w, t: fn(w, t)[0], win_d, tm_d)
+            dt = _time(lambda w, t: fn(w, t)[0], win_p, tm_p)
         elif mode == "search" or (mode.startswith("search_c")
                                   and mode[8:].isdigit()):
             target = int(mode[8:]) if mode.startswith("search_c") else None
