@@ -16,22 +16,58 @@ import sys
 import numpy as np
 
 
+def _intish(s: str) -> int:
+    """The reference parses its integer-valued flags as optparse floats
+    (``--ou=36.0`` works there); accept the same spellings."""
+    return int(float(s))
+
+
+def _sched(s: str) -> float:
+    """Shift-range/step value, accepting the reference reffree's
+    space-separated schedule strings (``--xr="4 2 1 1"``).
+
+    The reference parses these via ``get_input_from_string`` but pins
+    ``N_step = 0`` in both its GPU driver and its CPU twin
+    (test_reffree_gpu_align.py:355, :750 "#only test first"), so only
+    the FIRST entry ever takes effect; this accepts the schedule
+    spelling and reproduces exactly that behavior, loudly.
+    """
+    vals = [float(v) for v in s.replace(",", " ").split()]
+    if not vals:
+        raise argparse.ArgumentTypeError("empty shift range/step")
+    if len(vals) > 1:
+        print(f"NOTE: schedule {vals} accepted for compatibility; like "
+              "the reference (N_step pinned to 0), only the first entry "
+              f"({vals[0]}) is used", file=sys.stderr)
+    return vals[0]
+
+
 def add_common_flags(p: argparse.ArgumentParser, reffree: bool = False):
     """The reference optparse surface (test_mref_gpu_align.py:1142-1159,
-    test_reffree_gpu_align.py:915-935), flag for flag."""
-    p.add_argument("--ir", type=int, default=1,
+    test_reffree_gpu_align.py:915-935), flag for flag — including each
+    CLI's own defaults (mref: xr=0, ts=1, center=1; reffree: the
+    schedule defaults "4 2 1 1"/"2 1 0.5 0.25" whose first entries are
+    xr=4, ts=2, and center=-1)."""
+    p.add_argument("--ir", type=_intish, default=1,
                    help="inner ring radius (Numrinit first_ring; honored "
                         "since r4 — the reference GPU config ignores it)")
-    p.add_argument("--ou", type=int, default=-1, help="outer ring radius")
-    p.add_argument("--rs", type=int, default=1,
+    p.add_argument("--ou", type=_intish, default=-1, help="outer ring radius")
+    p.add_argument("--rs", type=_intish, default=1,
                    help="ring step (Numrinit rstep; honored since r4)")
-    p.add_argument("--xr", type=float, default=0.0, help="x shift search range")
-    p.add_argument("--yr", type=float, default=-1.0,
+    p.add_argument("--xr", type=_sched, default=4.0 if reffree else 0.0,
+                   help="x shift search range (reffree accepts the "
+                        "reference's schedule string; first entry used)")
+    p.add_argument("--yr", type=_sched, default=-1.0,
                    help="y shift search range (<0: use xr, like the "
                         "reference GPU config)")
-    p.add_argument("--ts", type=float, default=1.0, help="shift search step")
-    p.add_argument("--center", type=int, default=-1, help="centering method")
-    p.add_argument("--maxit", type=int, default=0,
+    p.add_argument("--ts", type=_sched, default=2.0 if reffree else 1.0,
+                   help="shift search step (reffree accepts the "
+                        "reference's schedule string; first entry used)")
+    p.add_argument("--center", type=_intish, default=-1 if reffree else 1,
+                   help="centering method (mref default 1 like the "
+                        "reference CLI; reffree default -1 = average "
+                        "centering)")
+    p.add_argument("--maxit", type=_intish, default=0,
                    help="max iterations (0 = auto)")
     p.add_argument("--CTF", action="store_true",
                    help="CTF-aware alignment: premultiply particles by "
@@ -115,6 +151,14 @@ def add_common_flags(p: argparse.ArgumentParser, reffree: bool = False):
                             "SCF = self-correlation alignment (rotation "
                             "from the shift-invariant scf, then a 2-D ccf "
                             "translation; forces half rings)")
+        p.add_argument("--randomize", action="store_true",
+                       help="accepted for compatibility (parsed but never "
+                            "read in the reference either, "
+                            "test_reffree_gpu_align.py:933)")
+        p.add_argument("--orient", action="store_true",
+                       help="accepted for compatibility (parsed but never "
+                            "read in the reference either, "
+                            "test_reffree_gpu_align.py:934)")
     return p
 
 

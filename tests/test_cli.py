@@ -102,3 +102,29 @@ def test_reffree_cli_end_to_end(tmp_path, stack_files):
                            "--function=ref_ali2d_no_filter"])
     assert rc == 0
     assert os.path.exists(os.path.join(tmp_path / "out_h", "varf.hdf"))
+
+
+def test_cli_reference_flag_spellings(tmp_path, stack_files):
+    """Reference CLI spellings parse identically here: schedule strings
+    for --xr/--yr/--ts (the reference pins N_step=0, so only the first
+    entry acts — test_reffree_gpu_align.py:355,750), optparse-float ints
+    (--ou=24.0), and the parsed-but-dead --randomize/--orient flags."""
+    stack, refs, _cls = stack_files
+
+    args = cli_reffree.build_parser().parse_args(
+        [stack, "o", "--xr=4 2 1 1", "--ts=2 1 0.5 0.25", "--ou=24.0",
+         "--randomize", "--orient"])
+    assert args.xr == 4.0 and args.ts == 2.0 and args.ou == 24
+    # per-CLI defaults match the reference parsers
+    d_rf = cli_reffree.build_parser().parse_args([stack, "o"])
+    assert (d_rf.xr, d_rf.ts, d_rf.center) == (4.0, 2.0, -1)
+    d_m = cli_mref.build_parser().parse_args([stack, refs, "o"])
+    assert (d_m.xr, d_m.ts, d_m.center) == (0.0, 1.0, 1)
+
+    # and they run end to end (schedule spelling on a real invocation)
+    outdir = str(tmp_path / "out_sched")
+    rc = cli_reffree.main([stack, outdir, "--ou=24.0", "--xr=1 1",
+                           "--ts=1 0.5", "--maxit=1", "--sampler=gather",
+                           "--randomize", "--function=ref_ali2d_no_filter"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(outdir, "aqfinal.hdf"))
