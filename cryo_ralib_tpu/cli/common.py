@@ -281,6 +281,22 @@ def load_stack(path: str):
     raise ValueError(f"unsupported stack format: {path}")
 
 
+def load_mask(path: str | None, nx: int):
+    """Optional maskfile positional (the reference loads it with
+    ``get_image``, test_mref_gpu_align.py:317-320 /
+    test_reffree_gpu_align.py:947): first image of the file, which must
+    match the particle box size."""
+    if not path:
+        return None
+    imgs, _ = load_stack(path)
+    mask = np.asarray(imgs[0], np.float32)
+    if mask.shape != (nx, nx):
+        print(f"ERROR: maskfile {path} is {mask.shape}, stack box is "
+              f"({nx}, {nx})", file=sys.stderr)
+        raise SystemExit(2)
+    return mask
+
+
 def check_outdir(outdir: str):
     """The reference hard-errors when the output directory exists
     (test_mref_gpu_align.py:1344)."""

@@ -18,8 +18,8 @@ import argparse
 
 
 from .common import (add_common_flags, check_outdir, load_ctf_params,
-                     load_stack, make_mesh_arg, print_device_info,
-                     writeback_headers)
+                     load_mask, load_stack, make_mesh_arg,
+                     print_device_info, writeback_headers)
 
 
 def build_parser():
@@ -29,6 +29,10 @@ def build_parser():
     p.add_argument("stack", help="particle stack (.hdf/.mrcs)")
     p.add_argument("refs", help="initial references (.hdf/.mrcs)")
     p.add_argument("outdir", help="output directory (must not exist)")
+    p.add_argument("maskfile", nargs="?", default=None,
+                   help="optional mask image replacing the default "
+                        "model_circle(ou) (the reference's 4th positional, "
+                        "test_mref_gpu_align.py:317-320)")
     return add_common_flags(p)
 
 
@@ -50,13 +54,14 @@ def main(argv=None):
     log.print_begin_msg("mref_ali2d_tpu")
     images, _headers = load_stack(args.stack)
     refs, _ = load_stack(args.refs)
+    mask = load_mask(args.maskfile, images.shape[-1])
     mesh = make_mesh_arg(args.devices)
 
     # unlike the reference (which force-disables CTF, ":308  # okay..?"),
     # --CTF here enables real premultiply+Wiener processing
     ctf_params = load_ctf_params(args, images.shape[0])
     res = mref_ali2d_tpu(
-        images, refs, outdir=args.outdir,
+        images, refs, outdir=args.outdir, maskfile=mask,
         ir=args.ir, ou=args.ou, rs=args.rs,
         xr=args.xr, yr=args.yr, ts=args.ts,
         center=args.center, maxit=args.maxit,

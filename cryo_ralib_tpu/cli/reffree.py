@@ -14,8 +14,9 @@ from __future__ import annotations
 import argparse
 
 from .common import (add_common_flags, check_outdir, load_ctf_params,
-                     load_stack, make_mesh_arg, print_device_info,
-                     validate_reffree_flags, writeback_headers)
+                     load_mask, load_stack, make_mesh_arg,
+                     print_device_info, validate_reffree_flags,
+                     writeback_headers)
 
 
 def build_parser():
@@ -24,6 +25,10 @@ def build_parser():
         description="TPU reference-free 2D alignment (Cryo-RAlib rebuild)")
     p.add_argument("stack", help="particle stack (.hdf/.mrcs)")
     p.add_argument("outdir", help="output directory (must not exist)")
+    p.add_argument("maskfile", nargs="?", default=None,
+                   help="optional mask image replacing the default "
+                        "model_circle(ou) (the reference's 3rd positional, "
+                        "test_reffree_gpu_align.py:947)")
     return add_common_flags(p, reffree=True)
 
 
@@ -45,11 +50,12 @@ def main(argv=None):
     log = RunLogger(args.outdir)
     log.print_begin_msg("ali2d_base_tpu")
     images, _headers = load_stack(args.stack)
+    mask = load_mask(args.maskfile, images.shape[-1])
     mesh = make_mesh_arg(args.devices)
 
     ctf_params = load_ctf_params(args, images.shape[0])
     res = ali2d_base_tpu(
-        images, outdir=args.outdir,
+        images, outdir=args.outdir, maskfile=mask,
         ir=args.ir, ou=args.ou, rs=args.rs,
         xr=args.xr, yr=args.yr, ts=args.ts,
         dst=args.dst, center=args.center, maxit=args.maxit,

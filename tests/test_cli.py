@@ -128,3 +128,34 @@ def test_cli_reference_flag_spellings(tmp_path, stack_files):
                            "--randomize", "--function=ref_ali2d_no_filter"])
     assert rc == 0
     assert os.path.exists(os.path.join(outdir, "aqfinal.hdf"))
+
+
+def test_cli_maskfile_positional(tmp_path, stack_files):
+    """The optional maskfile positional (the reference's extra arg,
+    test_mref_gpu_align.py:317-320 / test_reffree_gpu_align.py:947)
+    replaces the default model_circle mask."""
+    from cryo_ralib_tpu.ops.masks import model_circle
+
+    stack, refs, _cls = stack_files
+    mask_path = str(tmp_path / "mask.hdf")
+    write_hdf_stack(mask_path, np.asarray(model_circle(10, 64))[None])
+
+    out_m = str(tmp_path / "out_mask")
+    out_d = str(tmp_path / "out_default")
+    common = ["--ou=24", "--xr=1", "--ts=1", "--maxit=1",
+              "--sampler=gather", "--function=ref_ali2d_no_filter"]
+    assert cli_mref.main([stack, refs, out_d] + common) == 0
+    assert cli_mref.main([stack, refs, out_m, mask_path] + common) == 0
+    a, _ = read_hdf_stack(os.path.join(out_d, "aqm000.hdf"))
+    b, _ = read_hdf_stack(os.path.join(out_m, "aqm000.hdf"))
+    assert not np.allclose(a, b)  # a 10-px mask normalizes differently
+
+    rc = cli_reffree.main([stack, str(tmp_path / "out_rfm"), mask_path]
+                          + common)
+    assert rc == 0
+
+    # box-size mismatch fails loudly
+    bad = str(tmp_path / "bad_mask.hdf")
+    write_hdf_stack(bad, np.ones((1, 32, 32), np.float32))
+    with pytest.raises(SystemExit):
+        cli_mref.main([stack, refs, str(tmp_path / "x2"), bad] + common)
