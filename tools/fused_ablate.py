@@ -78,17 +78,33 @@ cfg = AlignConfig(img_dim=NX, ring_num=36, ring_len=256, shift_step=1.0,
 
 
 def main():
+    global K, N
+    # optional overrides: k=32 n=4096 kc=16 (kc forces _k_chunk — the
+    # large-K chunked path's chunk size) ahead of the stage names
+    modes = []
+    kc = None
+    for a in sys.argv[1:]:
+        if a.startswith("k="):
+            K = int(a[2:])
+        elif a.startswith("n="):
+            N = int(a[2:])
+        elif a.startswith("kc="):
+            kc = int(a[3:])
+        else:
+            modes.append(a)
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.standard_normal((N, NX, NX)).astype(np.float32))
     refs = jnp.asarray(rng.standard_normal((K, NX, NX)).astype(np.float32))
     params = AlignParams.zeros(N)
     tables = fs.FusedTables(cfg)
     rfw = jax.jit(lambda r: prepare_ref_spectra(r, cfg))(refs)
+    print(f"K={K} N={N} kc={kc if kc is not None else fs.max_chunk_k(cfg)}",
+          flush=True)
 
-    modes = sys.argv[1:] or ["full", "no_ccf", "no_yred", "sample_only"]
+    modes = modes or ["full", "no_ccf", "no_yred", "sample_only"]
     for mode in modes:
         fn = jax.jit(lambda i, r, mode=mode: fs.fused_search(
-            i, r, params, cfg, tables=tables, _stage=mode))
+            i, r, params, cfg, tables=tables, _stage=mode, _k_chunk=kc))
         out = fn(imgs, rfw)
         np.asarray(out.best_val)
         t0 = time.perf_counter()
