@@ -651,6 +651,11 @@ def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
     kc = max_chunk_k(cfg) if _k_chunk is None else _k_chunk
     if kc <= 0:
         raise ValueError("geometry exceeds the fused kernel VMEM budget")
+    if k > kc:
+        # equalize the chunk sizes (e.g. K=64 at kc=33 -> 32+32, not
+        # 33+31): every chunk then shares ONE compiled kernel shape,
+        # halving Mosaic compile time; runtime work is identical
+        kc = -(-k // -(-k // kc))
     mask8 = None
     if angle_mask is not None:
         mask8 = jnp.tile(jnp.asarray(angle_mask, jnp.float32)[None, :],

@@ -30,6 +30,27 @@ End-of-r3 map (same workload, raw4 kernel): full 178.2 ms,
 no_ccf 92.6, no_yred 130.5, sample_only 83.2 — raw4 shaved the ccf
 block to ~86 ms; both remaining stages sit near their VPU floors.
 
+Large-K map (r4, N=4096, S=49, v5e, one session; ~26 ms dispatch tax
+included in each row — it cancels in the deltas).  K=32 (one kernel,
+kc=33): full 136.8, no_ccf 62.6, no_yred 109.0, sample_only 53.6.
+K=64 (chunks 33+31): full 246.2, sample_only 78.2.  Decomposition:
+K-independent sampling ~28 ms compute per kernel pass, finalize
+(2K irfft matmuls + argmax) ~9 ms at K=32, and the ccf accumulate is
+everything else — ~74 ms at K=32, ~148 at K=64, i.e. ~2.3 ms per ref
+per 4096 particles, perfectly linear in K.  That stage is the 4-way
+raw product fold (VPU elementwise, ~58 MFLOP/particle at K=32) running
+at ~3.2 TFLOP/s effective — the VPU floor, already paid in bf16
+products and one RMW per ring block; no MXU formulation exists because
+the ring contraction is batched over the minor (lane) frequency axis.
+K>33 chunking costs exactly one extra sampling pass (+~26 ms) per
+chunk: a single-kernel K=64 would need the rows_scr angle-row scratch
+(0.4 MB/ref) replaced by a running per-block priority fold, whose row
+capture needs either per-block dynamic-slice captures (2K x NT slices)
+or a winner re-decode — ~12% on the K=64 row for a finalize rewrite
+shared with the headline path; declined, recorded here.  The chunk
+split is equalized instead (32+32, one compiled shape, half the Mosaic
+compile time of 33+31).
+
 Graveyard (measured slower or flat; kept out of the kernel):
 software-pipelined double-buffered polar scratch (ccf lagging sampling
 by one block to overlap MXU/VPU: 183 vs 173 ms — Mosaic does not

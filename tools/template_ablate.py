@@ -56,6 +56,13 @@ cost; the same-session mm_argmax/search deltas below are):
             on the tunneled worker -> pixel packing must be built
             from contiguous slices, not gathers
 
+  (r4, large-K) k=32 n=4096 full: 334.0 ms (12.3k pps) vs the fused
+            kernel's 136.8 ms (29.9k) in the same session — the
+            template engine is NOT a large-K alternative (its matmul
+            FLOPs scale linearly in K from a ~100x-larger base than
+            the fused VPU accumulate); its role stays GSPMD
+            partitionability and >128 px boxes.
+
   (negative, r4) mm_pad 159.8 ms vs mm_only 149.9 same-session: zero-
             padding both operands' contraction dim to the next 128
             multiple (6561 -> 6656) is exact but SLOWER (+6.6% for
@@ -134,6 +141,19 @@ def _time(fn, *args, reps=3):
 
 
 def main():
+    global K, N
+    # optional overrides ahead of the stage names: k=32 n=4096 — large-K
+    # stage timing (same spelling as tools/fused_ablate.py)
+    stage_args = []
+    for a in sys.argv[1:]:
+        if a.startswith("k="):
+            K = int(a[2:])
+        elif a.startswith("n="):
+            N = int(a[2:])
+        else:
+            stage_args.append(a)
+    sys.argv[1:] = stage_args
+    print(f"K={K} N={N}", flush=True)
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.standard_normal((N, NX, NX)).astype(np.float32))
     refs = jnp.asarray(rng.standard_normal((K, NX, NX)).astype(np.float32))
