@@ -39,7 +39,9 @@ _PROBE_SRC = (
 )
 
 
-def ensure_live_platform(timeout_s: float = 180.0) -> bool:
+def ensure_live_platform(timeout_s: float = 180.0,
+                         attempts: tuple | list | None = None,
+                         retry_sleep_s: float = 45.0) -> bool:
     """Return True if the default JAX platform answers a tiny program.
 
     No-op (True) when jax is already imported in this process (the
@@ -48,8 +50,18 @@ def ensure_live_platform(timeout_s: float = 180.0) -> bool:
     non-zero exit or timeout, pins this process to the CPU platform
     (config route + env var), warns on stderr, and returns False.
 
+    ``attempts`` (VERDICT r4 next #1): a sequence of per-attempt timeouts
+    replacing the single ``timeout_s`` — failed attempts rest
+    ``retry_sleep_s`` before retrying, because a timeout-killed probe can
+    itself re-wedge a recovering worker (CLAUDE.md) and the rest gives
+    the worker time to settle.  Observed init latencies: ~5 s healthy,
+    87-200 s slow-phase, forever during an outage — so a retry schedule
+    like (150, 180) distinguishes "slow phase" from "down" without
+    burning the whole caller deadline.
+
     Env overrides (testing / tuning): ``TPU_GUARD_TIMEOUT_S`` replaces
-    ``timeout_s``; ``TPU_GUARD_PROBE_SRC`` replaces the probe program.
+    ``timeout_s`` AND disables retries (single attempt — tests rely on
+    exact timing); ``TPU_GUARD_PROBE_SRC`` replaces the probe program.
     """
     if "jax" in sys.modules:
         try:
@@ -68,19 +80,32 @@ def ensure_live_platform(timeout_s: float = 180.0) -> bool:
     env_timeout = os.environ.get("TPU_GUARD_TIMEOUT_S")
     if env_timeout:
         timeout_s = float(env_timeout)
+        attempts = None
     probe_src = os.environ.get("TPU_GUARD_PROBE_SRC", _PROBE_SRC)
-    try:
-        rc = subprocess.run(
-            [sys.executable, "-c", probe_src],
-            timeout=timeout_s,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
-        ).returncode
-        ok = rc == 0
-    except subprocess.TimeoutExpired:
-        ok = False
-    except Exception:  # noqa: BLE001 - probe machinery itself failed
-        ok = False
+    schedule = tuple(attempts) if attempts else (timeout_s,)
+    ok = False
+    for i, tmo in enumerate(schedule):
+        if i > 0:
+            print(f"tpu_guard: probe attempt {i} failed; resting "
+                  f"{retry_sleep_s:.0f}s before retry (timeout {tmo:.0f}s)",
+                  file=sys.stderr, flush=True)
+            import time
+
+            time.sleep(retry_sleep_s)
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", probe_src],
+                timeout=tmo,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            ).returncode
+            ok = rc == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        except Exception:  # noqa: BLE001 - probe machinery itself failed
+            ok = False
+        if ok:
+            break
     if not ok:
         os.environ["JAX_PLATFORMS"] = "cpu"
         _pin_cpu()

@@ -619,8 +619,9 @@ def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
         (``prepare_ref_spectra``).
       _stage: stage-ablation hook for tools/fused_ablate.py only; the
         non-"full" outputs are timing dummies.
-      _k_chunk: test hook forcing a smaller ref-chunk size than the
-        VMEM-derived ``max_chunk_k``.
+      _k_chunk: test/ablation hook forcing the ref-chunk size verbatim
+        (no equalization — K=64 with ``_k_chunk=33`` really runs 33+31;
+        the default VMEM-derived ``max_chunk_k`` path equalizes).
       angle_mask: optional (L,) additive f32 mask restricting the angle
         argmax (the --dst discrete search, ops/search.delta_angle_mask);
         applied to the per-lane best values at the in-kernel finalize.
@@ -651,11 +652,14 @@ def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
     kc = max_chunk_k(cfg) if _k_chunk is None else _k_chunk
     if kc <= 0:
         raise ValueError("geometry exceeds the fused kernel VMEM budget")
-    if k > kc:
+    if k > kc and _k_chunk is None:
         # equalize the chunk sizes (e.g. K=64 at kc=33 -> 32+32, not
-        # 33+31): every chunk then shares ONE compiled kernel shape,
-        # halving Mosaic compile time; runtime work is identical
-        kc = -(-k // -(-k // kc))
+        # 33+31): when the equalized kc divides k every chunk shares ONE
+        # compiled kernel shape (at most two shapes otherwise), cutting
+        # Mosaic compile time; runtime work is identical.  An explicit
+        # _k_chunk is honored verbatim so tests/ablations can force
+        # uneven splits (ADVICE r4).
+        kc = _equalized_chunk(k, kc)
     mask8 = None
     if angle_mask is not None:
         mask8 = jnp.tile(jnp.asarray(angle_mask, jnp.float32)[None, :],
@@ -668,6 +672,13 @@ def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
         result = _merge_chunk(result, chunk, k0, k, tables) \
             if result is not None else chunk
     return result
+
+
+def _equalized_chunk(k: int, kc: int) -> int:
+    """Smallest per-chunk size covering ``k`` in ``ceil(k/kc)`` chunks —
+    K=64 at kc=33 gives 32 (two equal chunks), K=8 at kc=5 gives 4,
+    K=65 at kc=33 stays 33 (33+32; equal sizes are impossible there)."""
+    return -(-k // -(-k // kc))
 
 
 def _merge_chunk(a: SearchResult, b: SearchResult, k_off: int, k_total: int,

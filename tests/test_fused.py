@@ -199,6 +199,27 @@ def test_fused_chunked_matches_single(rng):
     for f in one._fields:
         np.testing.assert_array_equal(np.asarray(getattr(one, f)),
                                       np.asarray(getattr(chk, f)), err_msg=f)
+    # an explicit _k_chunk is honored verbatim — k=6 at _k_chunk=4 runs
+    # the UNEVEN 4+2 split (no equalization, ADVICE r4) and must still
+    # merge bit-identically
+    unev = fused_search(imgs, rfw, params, cfg, interpret=True, _k_chunk=4)
+    for f in one._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(one, f)),
+                                      np.asarray(getattr(unev, f)), err_msg=f)
+
+
+def test_chunk_equalization():
+    """Default-path chunk equalization (ADVICE r4): K=64 at capacity 33
+    runs 32+32 (one compiled shape), and sizes never exceed capacity."""
+    from cryo_ralib_tpu.ops.fused_search import _equalized_chunk
+
+    assert _equalized_chunk(64, 33) == 32
+    assert _equalized_chunk(8, 5) == 4
+    assert _equalized_chunk(65, 33) == 33   # 33+32: equal is impossible
+    for k in range(2, 130):
+        for kc in range(1, k):
+            e = _equalized_chunk(k, kc)
+            assert e <= kc and -(-k // e) == -(-k // kc), (k, kc, e)
 
 
 def test_fused_big_box_matches_matmul(rng):
