@@ -36,6 +36,42 @@ from ..ops.transform import transform_batch
 from ..params import AlignParams
 
 
+def _search_one(images, refs_f, params, cfg, sampler, fast, shift_chunk, sf):
+    """Scheme-aware search dispatch shared by both device loops.
+
+    ``ring_scheme="eman2"`` (r5) runs the template MXU engine or the
+    ``ops/eman_search`` matmul/gather engines; the fused Pallas kernel
+    stays cuda-scheme-only."""
+    if cfg.ring_scheme == "eman2":
+        from ..ops.eman_search import (prepare_ref_spectra_eman,
+                                       rotational_shift_search_eman)
+
+        ref_fw = prepare_ref_spectra_eman(refs_f, cfg)
+        if sampler == "template":
+            from ..ops.template_search import template_search
+
+            return template_search(images, ref_fw, params, cfg, sf=sf)
+        if sampler in ("matmul", "gather"):
+            return rotational_shift_search_eman(images, ref_fw, params, cfg,
+                                                sampler=sampler, fast=fast)
+        raise ValueError(f"sampler={sampler!r} does not support "
+                         "ring_scheme='eman2' in the device loop")
+    ref_fw = prepare_ref_spectra(refs_f, cfg)
+    if sampler == "fused":
+        from ..ops.fused_search import fused_search
+
+        return fused_search(images, ref_fw, params, cfg)
+    if sampler == "template":
+        from ..ops.template_search import template_search
+
+        return template_search(images, ref_fw, params, cfg, sf=sf)
+    if sampler == "matmul":
+        return rotational_shift_search_mm(images, ref_fw, params, cfg,
+                                          fast=fast)
+    return rotational_shift_search(images, ref_fw, params, cfg,
+                                   shift_chunk=shift_chunk)
+
+
 def _loop(images, avg0, params: AlignParams, gidx, valid, cutoffs, falloffs,
           cfg: AlignConfig, *, n_iter: int, sampler: str, fast: bool,
           shift_chunk: int):
@@ -51,21 +87,8 @@ def _loop(images, avg0, params: AlignParams, gidx, valid, cutoffs, falloffs,
     def body(i, state):
         params, avg = state
         avg_f = filt_tanl_dyn(avg, cutoffs[i], falloffs[i])
-        ref_fw = prepare_ref_spectra(avg_f[None], cfg)
-        if sampler == "fused":
-            from ..ops.fused_search import fused_search
-
-            res = fused_search(images, ref_fw, params, cfg)
-        elif sampler == "template":
-            from ..ops.template_search import template_search
-
-            res = template_search(images, ref_fw, params, cfg, sf=sf)
-        elif sampler == "matmul":
-            res = rotational_shift_search_mm(images, ref_fw, params, cfg,
-                                             fast=fast)
-        else:
-            res = rotational_shift_search(images, ref_fw, params, cfg,
-                                          shift_chunk=shift_chunk)
+        res = _search_one(images, avg_f[None], params, cfg, sampler, fast,
+                          shift_chunk, sf)
         params = decode_params(res, params, cfg, update_ref=False)
         if sampler in ("matmul", "fused", "template"):
             sums, _ = class_sum_transform_mm(images, params, 1,
@@ -152,21 +175,8 @@ def _mref_loop(images, refs0, params: AlignParams, gidx, valid, cutoffs,
     def body(i, state):
         params, refs = state
         refs_f = filt_tanl_dyn(refs, cutoffs[i], falloffs[i])
-        ref_fw = prepare_ref_spectra(refs_f, cfg)
-        if sampler == "fused":
-            from ..ops.fused_search import fused_search
-
-            res = fused_search(images, ref_fw, params, cfg)
-        elif sampler == "template":
-            from ..ops.template_search import template_search
-
-            res = template_search(images, ref_fw, params, cfg, sf=sf)
-        elif sampler == "matmul":
-            res = rotational_shift_search_mm(images, ref_fw, params, cfg,
-                                             fast=fast)
-        else:
-            res = rotational_shift_search(images, ref_fw, params, cfg,
-                                          shift_chunk=shift_chunk)
+        res = _search_one(images, refs_f, params, cfg, sampler, fast,
+                          shift_chunk, sf)
         params = decode_params(res, params, cfg, update_ref=True)
         if sampler in ("matmul", "fused", "template"):
             sums, counts = class_sum_transform_mm(

@@ -86,18 +86,23 @@ class AlignmentEngine:
             plan_sampler = "matmul"
             on_tpu = _jax.default_backend() == "tpu"
             no_ref_axis = mesh is None or "ref" not in mesh.axis_names
-            if cfg.ring_scheme == "cuda" and on_tpu and no_ref_axis:
+            if on_tpu and no_ref_axis:
                 if random_method == "SHC":
-                    if (sampler in ("auto", "template")
+                    if (cfg.ring_scheme == "cuda"
+                            and sampler in ("auto", "template")
                             and template_supported(cfg, n_classes)):
                         plan_sampler = "template"
                 elif random_method == "SCF":
                     plan_sampler = "matmul"
-                elif (sampler in ("auto", "fused")
+                elif (cfg.ring_scheme == "cuda"
+                        and sampler in ("auto", "fused")
                         and fused_supported(cfg, n_classes)):
                     plan_sampler = "fused"
                 elif (sampler in ("auto", "template")
                         and template_supported(cfg, n_classes)):
+                    # includes ring_scheme="eman2" (r5): the eman2 fast
+                    # path is the template engine, whose block footprint
+                    # the planner must charge
                     plan_sampler = "template"
             batch_size = plan_batch_size(self.n, n_classes, cfg,
                                          n_devices=n_dev, verbose=verbose,

@@ -80,25 +80,43 @@ def align_step(images, refs, params: AlignParams, global_index, valid,
         every sampler takes the mask (r4 — --dst iterations stay on the
         fast path).
 
-    ``cfg.ring_scheme == "eman2"`` routes the search through
-    ``ops.eman_search`` (variable Numrinit rings + ringwe weights, the
-    CPU twin's exact convention); only the matmul/gather sampling
-    engines exist there — fused/template requests fail loudly.
+    ``cfg.ring_scheme == "eman2"`` runs variable Numrinit rings + ringwe
+    weights (the CPU twin's exact convention).  Engines: "template"
+    (r5 — the MXU fast path; the per-ring-group Crosrng_ms accumulation
+    moves into the template build, ops/template_search._angle_spectra),
+    "matmul"/"gather" (ops/eman_search.py); "auto" picks template on
+    TPU when its geometry gate admits the config.  Only "fused" requests
+    fail loudly (the Pallas kernel is specialized to uniform rings).
     """
     if cfg.ring_scheme == "eman2":
+        from ..ops.template_search import template_supported
+
         if sampler == "auto":
-            sampler = ("matmul" if jax.default_backend() == "tpu"
-                       else "gather")
-        if sampler not in ("matmul", "gather"):
+            sampler = (("template" if template_supported(cfg, n_classes)
+                        else "matmul")
+                       if jax.default_backend() == "tpu" else "gather")
+        if sampler not in ("template", "matmul", "gather"):
             raise ValueError(f"sampler={sampler!r} does not support "
-                             "ring_scheme='eman2' (use matmul or gather)")
+                             "ring_scheme='eman2' (use template, matmul "
+                             "or gather)")
+        if sampler == "template" and not template_supported(cfg, n_classes):
+            raise ValueError(
+                "sampler='template' forced on a config outside the "
+                "template engine's geometry gate (ops.template_search."
+                "template_supported) — use sampler='auto'")
         from ..ops.eman_search import (prepare_ref_spectra_eman,
                                        rotational_shift_search_eman)
 
         ref_fwg = prepare_ref_spectra_eman(refs, cfg)
-        result = rotational_shift_search_eman(
-            images, ref_fwg, params, cfg, sampler=sampler, fast=fast,
-            angle_mask=angle_mask)
+        if sampler == "template":
+            from ..ops.template_search import template_search
+
+            result = template_search(images, ref_fwg, params, cfg,
+                                     angle_mask=angle_mask)
+        else:
+            result = rotational_shift_search_eman(
+                images, ref_fwg, params, cfg, sampler=sampler, fast=fast,
+                angle_mask=angle_mask)
     else:
         if sampler == "auto":
             if jax.default_backend() == "tpu":

@@ -129,7 +129,7 @@ def _class_plan(cfg, hp: int, rpb: int, n_classes: int = 3):
 def _kernel_banded2(img_ref, wxt_ref, *rest,
                     n_dx, n_dy, n_ref, rpb, q_b, classes,
                     do_mirror=True, stage="full", raw4=False,
-                    has_mask=False):
+                    has_mask=False, fold=False):
     """Band-limited fused search with ROLLED ring loops and the tight
     256-lane frequency packing: ``len(classes)`` class sections, each a
     fori_loop over its ring blocks with a uniform 8-aligned y-band,
@@ -184,6 +184,8 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
     n_rows = n_dx * n_dy * NT
     n_mirr = 2 if do_mirror else 1
     n_e = n_mirr * n_dx * n_dy * n_ref
+    assert not (fold and stage != "full"), \
+        "fold finalize has no ablation stages"
 
     if raw4:
         acc_r[:] = jnp.zeros_like(acc_r)
@@ -350,6 +352,77 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
                    preferred_element_type=jnp.float32)    # (n_rows, 128)
     lane_l = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
     alt = jnp.where(lane_l % 2 == 0, 1.0 / L, -1.0 / L)
+
+    if fold:
+        # Running-priority fold (r5, VERDICT r4 next #4): instead of
+        # materializing every (mirror, ref) slab in a K-scaled rows_scr
+        # (0.4 MB per ref per channel — what forces large K into
+        # multiple kernel invocations with duplicated sampling passes),
+        # each slab is irfft'd into ONE reused (n_rows, L) buffer and
+        # folded immediately into per-lane running (value, priority)
+        # registers plus the running winner's angle row.  The fold of
+        # (max, min-priority-on-tie) is associative, and every slab's
+        # rows are computed by the identical matmul — so the result is
+        # bit-identical to the materialized finalize.
+        s_num = n_dx * n_dy
+        big = jnp.float32(1e9)
+        neg = jnp.float32(_NEG)
+        s3 = jax.lax.broadcasted_iota(jnp.int32, (s_num, NT, L), 0) \
+            .astype(jnp.float32)
+        gv = jnp.full((NT, 1), neg, jnp.float32)
+        ge = jnp.full((NT, 1), big, jnp.float32)
+        run_bv = jnp.full((NT, L), neg, jnp.float32)
+        run_bm = jnp.full((NT, L), big, jnp.float32)
+        run_row = jnp.zeros((NT, L), jnp.float32)
+        for m in range(n_mirr):
+            for k in range(n_ref):
+                rows = jnp.dot(packed_rows(m, k).astype(jnp.bfloat16),
+                               irf_ref[:],
+                               preferred_element_type=jnp.float32)
+                rows_scr[:, :] = rows + c_ny[:, k:k + 1] * alt
+                rows3 = rows_scr[:].reshape(s_num, NT, L)
+                bv_k = jnp.max(rows3, axis=0)            # (NT, L)
+                base = jnp.float32(m * s_num * n_ref + k)
+                prio3 = s3 * jnp.float32(n_ref) + base
+                bm_k = jnp.min(jnp.where(rows3 == bv_k[None], prio3, big),
+                               axis=0)
+                if has_mask:
+                    # per-lane constant: commutes with every max above;
+                    # fold on MASKED values so the captured winner row
+                    # belongs to the masked argmax (rows stay unmasked
+                    # for the refine-free decode)
+                    bv_k = bv_k + mask_ref[0:1, :]
+                v_k = jnp.max(bv_k, axis=-1, keepdims=True)      # (NT, 1)
+                e_k = jnp.min(jnp.where(bv_k == v_k, bm_k, big),
+                              axis=-1, keepdims=True)
+                # winning shift row of THIS slab: s* = (e_k - base)/K
+                s_star = (e_k - base) / jnp.float32(n_ref)       # (NT, 1)
+                sel = (s3[:, :, 0:1] == s_star[None]).astype(jnp.float32)
+                row_k = jnp.sum(rows3 * sel, axis=0)             # (NT, L)
+                take = (v_k > gv) | ((v_k == gv) & (e_k < ge))
+                gv = jnp.where(take, v_k, gv)
+                ge = jnp.where(take, e_k, ge)
+                run_row = jnp.where(take, row_k, run_row)
+                takel = (bv_k > run_bv) | ((bv_k == run_bv)
+                                           & (bm_k < run_bm))
+                run_bv = jnp.where(takel, bv_k, run_bv)
+                run_bm = jnp.where(takel, bm_k, run_bm)
+        vmax = jnp.max(run_bv, axis=-1, keepdims=True)
+        maskv = run_bv == vmax
+        emin = jnp.min(jnp.where(maskv, run_bm, big), axis=-1,
+                       keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (NT, L), 1) \
+            .astype(jnp.float32)
+        amin = jnp.min(jnp.where(maskv & (run_bm == emin), lane, big),
+                       axis=-1, keepdims=True)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (NT, 128), 1)
+        hdr = (jnp.where(lane128 == 0, vmax, 0.0)
+               + jnp.where(lane128 == 1, amin, 0.0)
+               + jnp.where(lane128 == 2, emin, 0.0))
+        out_ref[0, :, :128] = hdr
+        out_ref[0, :, 128:128 + L] = run_row
+        return
+
     for m in range(n_mirr):
         for k in range(n_ref):
             rows = jnp.dot(packed_rows(m, k).astype(jnp.bfloat16), irf_ref[:],
@@ -399,7 +472,8 @@ def _kernel_banded2(img_ref, wxt_ref, *rest,
 def _build_banded2(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
                    n_rings: int, classes: tuple, interpret: bool,
                    do_mirror: bool = True, stage: str = "full",
-                   raw4: bool = False, has_mask: bool = False):
+                   raw4: bool = False, has_mask: bool = False,
+                   fold: bool = False):
     q_b = rpb * L
     n_rows = n_dx * n_dy * NT
     n_mirr = 2 if do_mirror else 1
@@ -409,7 +483,7 @@ def _build_banded2(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
     kern = partial(_kernel_banded2, n_dx=n_dx, n_dy=n_dy, n_ref=n_ref,
                    rpb=rpb, q_b=q_b, classes=tuple(classes),
                    do_mirror=do_mirror, stage=stage, raw4=raw4,
-                   has_mask=has_mask)
+                   has_mask=has_mask, fold=fold)
 
     def call(img, wxt_rb, wyts, dft, refp, rny, oh, irf, prio, mask=None):
         t = img.shape[0] // NT
@@ -431,7 +505,10 @@ def _build_banded2(n_dx: int, n_dy: int, n_ref: int, hp: int, rpb: int,
             scratch.append(pltpu.VMEM((n_ref, n_rows, 256), jnp.float32))
             if do_mirror:
                 scratch.append(pltpu.VMEM((n_ref, n_rows, 256), jnp.float32))
-        scratch.append(pltpu.VMEM((n_mirr * n_ref * n_rows, L), jnp.float32))
+        # fold: ONE reused slab buffer instead of the K-scaled row store
+        scratch.append(pltpu.VMEM(
+            ((n_rows, L) if fold else (n_mirr * n_ref * n_rows, L)),
+            jnp.float32))
         return pl.pallas_call(
             kern,
             grid=(t,),
@@ -574,6 +651,19 @@ def max_chunk_k(cfg: AlignConfig) -> int:
     return min(int(k), 128)
 
 
+def max_chunk_k_fold(cfg: AlignConfig) -> int:
+    """Reference capacity of ONE kernel invocation under the fold
+    finalize (r5): only the ccf accumulator scales with K — the angle
+    rows are folded slab by slab through one reused buffer instead of
+    the K-scaled ``rows_scr`` store, roughly doubling the capacity
+    (K=64 at S=49 mirrored runs in one invocation: 51 MB accumulator
+    + ~30 MB tables under the ~110 MB budget)."""
+    n_rows = len(cfg.shift_x_vals) * len(cfg.shift_y_vals) * NT
+    n_mirr = 2 if cfg.mirror else 1
+    k = (72 * 1024 * 1024) // (n_mirr * n_rows * 256 * 4)
+    return min(int(k), 128)
+
+
 def fused_supported(cfg: AlignConfig, n_classes: int) -> bool:
     """Geometry gate: the kernels are specialized to ring_len 256, full
     rings, and a 128-lane image width (boxes >128 px fall back to the
@@ -609,7 +699,7 @@ def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
                  interpret: bool = False,
                  _stage: str = "full", raw4: bool | None = None,
                  _k_chunk: int | None = None,
-                 angle_mask=None) -> SearchResult:
+                 angle_mask=None, fold: bool | None = None) -> SearchResult:
     """Drop-in fused-kernel replacement for ``rotational_shift_search_mm``.
 
     Args:
@@ -649,7 +739,17 @@ def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
     img_p = jnp.zeros((n_pad, tables.hp, 128), jnp.float32)
     img_p = img_p.at[:n, :h, :min(w, 128)].set(img_t)
 
+    # fold finalize (r5): large K in ONE kernel invocation — no
+    # duplicated sampling pass, no chunk merge.  Opt-in pending a
+    # hardware accept/reject measurement (VERDICT r4 next #4); only the
+    # full-stage search has a fold variant.
+    if fold is None:
+        fold = False
+    if fold and (_stage != "full" or k > max_chunk_k_fold(cfg)):
+        fold = False
     kc = max_chunk_k(cfg) if _k_chunk is None else _k_chunk
+    if fold:
+        kc = max(kc, max_chunk_k_fold(cfg))
     if kc <= 0:
         raise ValueError("geometry exceeds the fused kernel VMEM budget")
     if k > kc and _k_chunk is None:
@@ -668,7 +768,8 @@ def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
     for k0 in range(0, k, kc):
         kk = min(kc, k - k0)
         chunk = _fused_search_one(img_p, ref_fw[k0:k0 + kk], cfg, tables,
-                                  interpret, _stage, raw4, n, mask8)
+                                  interpret, _stage, raw4, n, mask8,
+                                  fold=fold)
         result = _merge_chunk(result, chunk, k0, k, tables) \
             if result is not None else chunk
     return result
@@ -705,7 +806,7 @@ def _merge_chunk(a: SearchResult, b: SearchResult, k_off: int, k_total: int,
 
 
 def _fused_search_one(img_p, ref_fw, cfg, tables, interpret, stage, raw4,
-                      n: int, mask8=None) -> SearchResult:
+                      n: int, mask8=None, fold: bool = False) -> SearchResult:
     """One kernel invocation over a (VMEM-sized) slice of the refs."""
     k = ref_fw.shape[0]
     n_pad = img_p.shape[0]
@@ -723,7 +824,7 @@ def _fused_search_one(img_p, ref_fw, cfg, tables, interpret, stage, raw4,
                           tables.rpb, tables.n_rings, tables.classes,
                           interpret, do_mirror=cfg.mirror, stage=stage,
                           raw4=raw4 and cfg.mirror,
-                          has_mask=mask8 is not None)
+                          has_mask=mask8 is not None, fold=fold)
     out = call(img_p, jnp.asarray(tables.wxt_rb),
                tuple(jnp.asarray(w) for w in tables.wyts),
                jnp.asarray(tables.dft_t), refp, rny,

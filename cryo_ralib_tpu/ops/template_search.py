@@ -154,10 +154,12 @@ def template_supported(cfg, n_classes: int) -> bool:
     picks per config), and — for fractional shift grids — at most
     ``MAX_FRAC_GROUPS`` unique fractional remainders (each one is a
     separate per-iteration splat-spectra build).  Any
-    ``img_dim``/``ring_len``/K is fine otherwise.
+    ``img_dim``/``ring_len``/K is fine otherwise — including
+    ``ring_scheme="eman2"`` (r5): variable Numrinit rings only change
+    the template build (per-group splat spectra accumulated into the
+    maxrin angle spectrum, Crosrng_ms algebra); the search matmul and
+    decode are scheme-agnostic.
     """
-    if cfg.ring_scheme != "cuda":
-        return False   # eman2 variable rings run ops/eman_search.py
     groups, _ = _frac_groups(cfg)
     if len(groups) > MAX_FRAC_GROUPS:
         return False
@@ -181,13 +183,36 @@ def _base_tents(cfg, lo, width, frac=(0.0, 0.0)):
 
 
 def splat_spectra(cfg, frac=(0.0, 0.0)):
-    """(R, F, Wpx) complex64 rfft-over-t spectra of the splat tensor.
+    """rfft-over-t spectra of the splat tensor.
+
+    "cuda" scheme: one (R, F, Wpx) complex64 array.  "eman2" scheme: a
+    tuple with one (R_g, F_g, Wpx) array per ring-length group
+    (``eman_search.eman_groups`` order) — each group's splat transforms
+    over its OWN ring length L_g, so its harmonics land on the low bins
+    of the shared maxrin angle spectrum exactly like the
+    ``Util.Crosrng_ms`` accumulation in ``ops/eman_search.py``.
 
     Jittable; depends only on (cfg, frac).  Computed inside the step (the
     materialized array is ~250 MB for the 90 px config — too large to
     bake into the program as a constant, cheap to rebuild on device).
     """
     lo, width, _ = template_geometry(cfg)
+    if cfg.ring_scheme == "eman2":
+        from .eman_search import eman_groups
+
+        c = cfg.img_dim // 2
+        out = []
+        for ln, _idx, coords in eman_groups(cfg):
+            wy = tent_rows(c - lo + coords[..., 1].reshape(-1) + frac[0],
+                           width)
+            wx = tent_rows(c - lo + coords[..., 0].reshape(-1) + frac[1],
+                           width)
+            splat = jnp.einsum("qh,qw->qhw", jnp.asarray(wy),
+                               jnp.asarray(wx))
+            splat = splat.reshape(-1, ln, width * width)
+            sf = rfft_mm(splat.transpose(0, 2, 1))    # (R_g, Wpx, F_g)
+            out.append(sf.transpose(0, 2, 1))         # (R_g, F_g, Wpx)
+        return tuple(out)
     wy, wx = _base_tents(cfg, lo, width, frac)
     splat = jnp.einsum("qh,qw->qhw", jnp.asarray(wy), jnp.asarray(wx))
     splat = splat.reshape(cfg.ring_num, cfg.ring_len, width * width)
@@ -204,8 +229,68 @@ def splat_spectra_groups(cfg):
     return tuple(splat_spectra(cfg, frac=f) for f in groups.values())
 
 
+def _ref_k(ref_fw) -> int:
+    """K from either spectra form: (K, R, F) array (cuda scheme) or the
+    per-ring-group tuple from ``prepare_ref_spectra_eman``."""
+    if isinstance(ref_fw, (tuple, list)):
+        return int(ref_fw[0].shape[0])
+    return int(ref_fw.shape[0])
+
+
+def _angle_spectra(ref_fw, cfg, sf_g):
+    """Per-pixel angle spectra of the orig/mirror templates for one
+    fractional group: ``(g, h)``, each (K, Wpx, F_max) complex64
+    (``h`` is None without mirror).
+
+    cuda scheme: one contraction against the (R, F, Wpx) splat spectra.
+    eman2 scheme: ``ref_fw``/``sf_g`` are per-ring-group tuples; each
+    group's harmonics (f < L_g/2+1) accumulate into the low bins of the
+    shared maxrin spectrum — the pixel-domain image of the
+    ``Util.Crosrng_ms`` accumulation in ``ops/eman_search.py`` (the
+    ringwe weights and short-ring Nyquist pre-halving ride in via
+    ``prepare_ref_spectra_eman``)."""
+    if cfg.ring_scheme == "eman2":
+        n_f = cfg.ring_len // 2 + 1
+        k_num = _ref_k(ref_fw)
+        wpx = sf_g[0].shape[-1]
+        g = jnp.zeros((k_num, wpx, n_f), jnp.complex64)
+        h = jnp.zeros((k_num, wpx, n_f), jnp.complex64) \
+            if cfg.mirror else None
+        for spec, sfg in zip(ref_fw, sf_g):
+            f_g = sfg.shape[1]
+            g = g.at[..., :f_g].add(
+                jnp.einsum("krf,rfp->kpf", spec, jnp.conj(sfg)))
+            if cfg.mirror:
+                h = h.at[..., :f_g].add(
+                    jnp.einsum("krf,rfp->kpf", spec, sfg))
+        return g, h
+    g = jnp.einsum("krf,rfp->kpf", ref_fw, jnp.conj(sf_g))
+    h = jnp.einsum("krf,rfp->kpf", ref_fw, sf_g) if cfg.mirror else None
+    return g, h
+
+
+def _normalize_sf(sf, order_len: int, cfg):
+    """Resolve a user-passed ``sf`` into the per-frac-group tuple (or
+    None to rebuild).  An eman2 entry is itself a tuple of per-ring-group
+    arrays, so eman2 detection keys on the ELEMENT type."""
+    if sf is None:
+        return None
+    if cfg.ring_scheme == "eman2":
+        if (isinstance(sf, (tuple, list)) and len(sf) > 0
+                and isinstance(sf[0], (tuple, list))):
+            return tuple(sf) if len(sf) == order_len else None
+        # a bare per-ring-group tuple == one fractional group's spectra
+        return (tuple(sf),) if order_len == 1 else None
+    if isinstance(sf, (tuple, list)):
+        return tuple(sf) if len(sf) == order_len else None
+    return (sf,) if order_len == 1 else None
+
+
 def build_template_blocks(ref_fw, cfg, sf=None):
-    """Weighted ring spectra (K, R, F) -> padded per-frac template blocks.
+    """Weighted ring spectra -> padded per-frac template blocks.
+
+    ``ref_fw``: (K, R, F) from ``prepare_ref_spectra`` (cuda scheme) or
+    the per-ring-group tuple from ``prepare_ref_spectra_eman`` (eman2).
 
     Returns ``(tbps, fids, oys, oxs)``: ``tbps`` is the
     (Fg, M, K, L, wp, wp) bf16 stack of padded template blocks (one per
@@ -215,26 +300,21 @@ def build_template_blocks(ref_fw, cfg, sf=None):
     roll.  Jittable; rebuilt every iteration (refs change).
     """
     ring_len = cfg.ring_len
-    k_num = ref_fw.shape[0]
+    k_num = _ref_k(ref_fw)
     n_chan = 2 if cfg.mirror else 1
     lo, width, pad = template_geometry(cfg)
     groups, decomp = _frac_groups(cfg)
     # one padded template block per fractional group (integer grids: one)
     order = list(groups)
-    # sf: a single (R, F, Wpx) array (single-group grids) or the
+    # sf: a single spectra value (single-group grids) or the
     # splat_spectra_groups tuple (one entry per group, same order)
-    if sf is None:
-        sfs = None
-    elif isinstance(sf, (tuple, list)):
-        sfs = tuple(sf) if len(sf) == len(order) else None
-    else:
-        sfs = (sf,) if len(order) == 1 else None
+    sfs = _normalize_sf(sf, len(order), cfg)
     blocks = []
     for idx, key in enumerate(order):
         frac = groups[key]
         sf_g = sfs[idx] if sfs is not None else \
             splat_spectra(cfg, frac=frac)
-        g = jnp.einsum("krf,rfp->kpf", ref_fw, jnp.conj(sf_g))
+        g, h = _angle_spectra(ref_fw, cfg, sf_g)
         # HIGH (3-pass bf16, ~f32-accurate) halves the irfft's HIGHEST
         # (6-pass) cost — the dominant build stage (VERDICT r3 next
         # #1b).  The 1-pass bf16 path measured too noisy: its ~0.4%
@@ -244,7 +324,6 @@ def build_template_blocks(ref_fw, cfg, sf=None):
         tbo = irfft_mm(g, n=ring_len, precision=_HI)  # (K, Wpx, L)
         chans = [tbo]
         if cfg.mirror:
-            h = jnp.einsum("krf,rfp->kpf", ref_fw, sf_g)
             tbm = irfft_mm(h, n=ring_len, precision=_HI)
             # angle index reversal (-l % L) = flip + roll (no gather)
             chans.append(jnp.roll(jnp.flip(tbm, axis=-1), 1, axis=-1))
@@ -273,7 +352,7 @@ def build_template_matrix(ref_fw, cfg, sf=None):
     rebuilt every iteration (refs change).
     """
     ring_len = cfg.ring_len
-    k_num = ref_fw.shape[0]
+    k_num = _ref_k(ref_fw)
     n_chan = 2 if cfg.mirror else 1
     _, width, _ = template_geometry(cfg)
     tbps, fids, oys, oxs = build_template_blocks(ref_fw, cfg, sf=sf)
@@ -455,7 +534,7 @@ def _search_operands(images, ref_fw, params, cfg, sf, stream):
     matrix live at once, so their sum is budgeted), streamed block
     slices otherwise.  Returns ``(win, cols_fn, c_total, chunk)``."""
     ring_len = cfg.ring_len
-    k_num = ref_fw.shape[0]
+    k_num = _ref_k(ref_fw)
     lo, width, _ = template_geometry(cfg)
     if stream is None:
         stream = (_template_matrix_bytes(cfg, k_num)
@@ -491,7 +570,7 @@ def template_search_shc(images, ref_fw, params, cfg, previousmax, sf=None,
     Returns ``(SearchResult, found)``; non-improving particles carry
     zero-filled fields and must keep their previous params."""
     ring_len = cfg.ring_len
-    k_num = ref_fw.shape[0]
+    k_num = _ref_k(ref_fw)
     s_num = cfg.n_shifts
     win, cols_fn, c_total, chunk = _search_operands(images, ref_fw, params,
                                                     cfg, sf, stream)
@@ -522,7 +601,7 @@ def template_search(images, ref_fw, params, cfg, sf=None,
     bit-identical scores.  ``angle_mask`` restricts the angle argmax to
     discrete bins (the --dst search; decode with ``refine=False``)."""
     ring_len = cfg.ring_len
-    k_num = ref_fw.shape[0]
+    k_num = _ref_k(ref_fw)
     s_num = cfg.n_shifts
     win, cols_fn, c_total, chunk = _search_operands(images, ref_fw, params,
                                                     cfg, sf, stream)

@@ -60,12 +60,13 @@ def test_eman_config_derives_ring_len():
     assert cfg.ring_len == rings[-1][1]          # maxrin
     np.testing.assert_allclose(cfg.eman_ring_weights,
                                oracle.ringwe(rings), rtol=1e-6)
-    # fused/template gate themselves out; H-mode rejected
+    # fused gates itself out; the template MXU engine admits eman2 (r5);
+    # H-mode rejected
     from cryo_ralib_tpu.ops.fused_search import fused_supported
     from cryo_ralib_tpu.ops.template_search import template_supported
 
     assert not fused_supported(cfg, 3)
-    assert not template_supported(cfg, 3)
+    assert template_supported(cfg, 3)
     with pytest.raises(ValueError, match="full rings"):
         _cfg(mode="H")
 
@@ -94,6 +95,68 @@ def test_eman_search_matches_oracle(stack, refs, sampler):
         assert abs(float(new.angle[i]) - want["angle"]) < 5e-3
         assert abs(float(res.best_val[i]) - want["peak"]) \
             < 1e-3 * abs(want["peak"])
+
+
+@pytest.mark.parametrize("kw", [
+    dict(),                                              # integer grid
+    dict(shift_step=0.5, shift_rng_x=1.0, shift_rng_y=1.0),  # fractional
+])
+def test_eman_template_engine_matches_matmul(stack, refs, kw):
+    """r5: the eman2 scheme on the template MXU engine — per-ring-group
+    splat spectra accumulated into the maxrin angle spectrum
+    (ops/template_search._angle_spectra) must reproduce the
+    ``rotational_shift_search_eman`` table up to bf16 near-ties, with
+    nonzero accumulated shifts and fractional grids."""
+    from cryo_ralib_tpu.ops.eman_search import (
+        prepare_ref_spectra_eman, rotational_shift_search_eman)
+    from cryo_ralib_tpu.ops.template_search import (template_search,
+                                                    template_supported)
+
+    cfg = _cfg(**kw)
+    assert template_supported(cfg, refs.shape[0])
+    rng = np.random.default_rng(7)
+    n = stack.shape[0]
+    params = AlignParams(
+        jnp.zeros(n),
+        jnp.asarray(rng.integers(-2, 3, n).astype(np.float32)),
+        jnp.asarray(rng.integers(-2, 3, n).astype(np.float32)),
+        jnp.zeros(n, jnp.int32), jnp.zeros(n, jnp.int32))
+    ref_fwg = prepare_ref_spectra_eman(jnp.asarray(refs), cfg)
+    r_mm = rotational_shift_search_eman(
+        jnp.asarray(stack), ref_fwg, params, cfg, sampler="matmul",
+        fast=False)
+    r_tm = template_search(jnp.asarray(stack), ref_fwg, params, cfg)
+    va = np.asarray(r_mm.best_val)
+    vb = np.asarray(r_tm.best_val)
+    same = ((np.asarray(r_mm.best_aidx) == np.asarray(r_tm.best_aidx))
+            & (np.asarray(r_mm.best_sidx) == np.asarray(r_tm.best_sidx))
+            & (np.asarray(r_mm.best_ref) == np.asarray(r_tm.best_ref))
+            & (np.asarray(r_mm.best_mirror) == np.asarray(r_tm.best_mirror)))
+    gap = np.abs(vb - va) / np.abs(va).max()
+    # bf16 tent-matmul intermediates: identical winners up to near-ties
+    assert np.all(same | (gap <= 5e-3)), (same, gap)
+    assert gap.max() <= 5e-3
+
+
+def test_eman_step_auto_picks_template_on_tpu_geometry(stack, refs):
+    """align_step(sampler='template') runs the eman2 scheme end to end
+    (counts conserved; same class assignments as the matmul engine)."""
+    from cryo_ralib_tpu.models.steps import align_step
+
+    cfg = _cfg()
+    n = stack.shape[0]
+    gidx = jnp.arange(n, dtype=jnp.int32)
+    valid = jnp.ones((n,), jnp.float32)
+    out_t = align_step(jnp.asarray(stack), jnp.asarray(refs),
+                       AlignParams.zeros(n), gidx, valid, cfg,
+                       n_classes=refs.shape[0], sampler="template")
+    out_m = align_step(jnp.asarray(stack), jnp.asarray(refs),
+                       AlignParams.zeros(n), gidx, valid, cfg,
+                       n_classes=refs.shape[0], sampler="matmul",
+                       fast=False)
+    assert int(out_t.counts.sum()) == n
+    np.testing.assert_array_equal(np.asarray(out_t.params.ref_id),
+                                  np.asarray(out_m.params.ref_id))
 
 
 def test_eman_step_and_sampler_gate(stack, refs):

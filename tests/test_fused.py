@@ -208,6 +208,35 @@ def test_fused_chunked_matches_single(rng):
                                       np.asarray(getattr(unev, f)), err_msg=f)
 
 
+def test_fold_finalize_matches_standard(rng):
+    """r5 running-priority fold finalize (single-kernel large K): the
+    per-slab (max, min-priority) fold and in-fold winner-row capture
+    must be bit-identical to the materialized rows_scr finalize —
+    including under a --dst angle mask (the fold masks per-lane values
+    before capturing the winner row)."""
+    from cryo_ralib_tpu.ops.search import delta_angle_mask
+
+    n, nx, k = 8, 64, 4
+    cfg = _cfg(nx, rings=20, xr=1.0)
+    imgs = jnp.asarray(rng.standard_normal((n, nx, nx)).astype(np.float32))
+    refs = jnp.asarray(rng.standard_normal((k, nx, nx)).astype(np.float32))
+    rfw = prepare_ref_spectra(refs, cfg)
+    params = AlignParams.zeros(n)
+    base = fused_search(imgs, rfw, params, cfg, interpret=True)
+    fld = fused_search(imgs, rfw, params, cfg, interpret=True, fold=True)
+    for f in base._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(base, f)),
+                                      np.asarray(getattr(fld, f)), err_msg=f)
+    mask = delta_angle_mask(cfg.ring_len, 45.0, cfg.mode)
+    bm = fused_search(imgs, rfw, params, cfg, interpret=True,
+                      angle_mask=mask)
+    fm = fused_search(imgs, rfw, params, cfg, interpret=True,
+                      angle_mask=mask, fold=True)
+    for f in base._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(bm, f)),
+                                      np.asarray(getattr(fm, f)), err_msg=f)
+
+
 def test_chunk_equalization():
     """Default-path chunk equalization (ADVICE r4): K=64 at capacity 33
     runs 32+32 (one compiled shape), and sizes never exceed capacity."""

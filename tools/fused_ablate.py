@@ -124,8 +124,14 @@ def main():
 
     modes = modes or ["full", "no_ccf", "no_yred", "sample_only"]
     for mode in modes:
-        fn = jax.jit(lambda i, r, mode=mode: fs.fused_search(
-            i, r, params, cfg, tables=tables, _stage=mode, _k_chunk=kc))
+        # "fold" = the full search through the r5 running-priority fold
+        # finalize (single-kernel large K, no chunk merge) — the
+        # VERDICT r4 next #4 accept/reject measurement
+        fold = mode == "fold"
+        stage = "full" if fold else mode
+        fn = jax.jit(lambda i, r, stage=stage, fold=fold: fs.fused_search(
+            i, r, params, cfg, tables=tables, _stage=stage, _k_chunk=kc,
+            fold=fold))
         out = fn(imgs, rfw)
         np.asarray(out.best_val)
         t0 = time.perf_counter()

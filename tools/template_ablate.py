@@ -123,6 +123,8 @@ from cryo_ralib_tpu.params import AlignParams
 ts = importlib.import_module("cryo_ralib_tpu.ops.template_search")
 
 NX, K, N = 90, 8, 8192
+OU, XR = 36, 3.0
+SCHEME = "cuda"
 cfg = AlignConfig(img_dim=NX, ring_num=36, ring_len=256, shift_step=1.0,
                   shift_rng_x=3.0, shift_rng_y=3.0)
 
@@ -141,24 +143,45 @@ def _time(fn, *args, reps=3):
 
 
 def main():
-    global K, N
-    # optional overrides ahead of the stage names: k=32 n=4096 — large-K
-    # stage timing (same spelling as tools/fused_ablate.py)
+    global K, N, NX, OU, XR, SCHEME, cfg
+    # optional overrides ahead of the stage names: k=32 n=4096 (large-K
+    # stage timing, same spelling as tools/fused_ablate.py), plus
+    # nx=256 ou=100 xr=2 (big-box geometry — the VERDICT r4 next #3
+    # 256 px stage map) and scheme=eman2 (the r5 eman2 template build)
     stage_args = []
     for a in sys.argv[1:]:
         if a.startswith("k="):
             K = int(a[2:])
         elif a.startswith("n="):
             N = int(a[2:])
+        elif a.startswith("nx="):
+            NX = int(a[3:])
+        elif a.startswith("ou="):
+            OU = int(a[3:])
+        elif a.startswith("xr="):
+            XR = float(a[3:])
+        elif a.startswith("scheme="):
+            SCHEME = a[7:]
         else:
             stage_args.append(a)
     sys.argv[1:] = stage_args
-    print(f"K={K} N={N}", flush=True)
+    kw = dict(img_dim=NX, ring_num=OU, shift_step=1.0,
+              shift_rng_x=XR, shift_rng_y=XR, ring_scheme=SCHEME)
+    if SCHEME == "cuda":
+        kw["ring_len"] = 256
+    cfg = AlignConfig(**kw)
+    print(f"K={K} N={N} nx={NX} ou={OU} xr={XR} scheme={SCHEME} "
+          f"ring_len={cfg.ring_len}", flush=True)
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.standard_normal((N, NX, NX)).astype(np.float32))
     refs = jnp.asarray(rng.standard_normal((K, NX, NX)).astype(np.float32))
     params = AlignParams.zeros(N)
-    rfw = jax.jit(lambda r: prepare_ref_spectra(r, cfg))(refs)
+    if SCHEME == "eman2":
+        from cryo_ralib_tpu.ops.eman_search import prepare_ref_spectra_eman
+
+        rfw = jax.jit(lambda r: prepare_ref_spectra_eman(r, cfg))(refs)
+    else:
+        rfw = jax.jit(lambda r: prepare_ref_spectra(r, cfg))(refs)
     lo, width, _ = ts.template_geometry(cfg)
 
     from cryo_ralib_tpu.ops.polar_mm import (translate_bilinear_mm,
