@@ -79,6 +79,22 @@ def main() -> int:
         ("masked 90px K=4 delta=15 (--dst)", 24,
          AlignConfig(img_dim=90, ring_num=36, ring_len=256, shift_step=1.0,
                      shift_rng_x=2.0, shift_rng_y=2.0), 4, "random", 15.0),
+        # r5 cases: the eman2 scheme on the template engine (reference =
+        # the ops/eman_search matmul engine), a non-default --ir/--rs
+        # Numrinit plan (VERDICT r4 weak #3), and the fold finalize
+        # Mosaic-compiled (interpret-mode CI bit-identity is not Mosaic)
+        ("eman2 scheme 90px K=4 (template vs eman-matmul)", 24,
+         AlignConfig(img_dim=90, ring_num=36, ring_scheme="eman2",
+                     shift_step=1.0, shift_rng_x=2.0, shift_rng_y=2.0),
+         4, "structured", None),
+        ("ring plan ir=4 rs=2 90px K=4", 24,
+         AlignConfig(img_dim=90, ring_num=17, ring_len=256, first_ring=4,
+                     ring_step=2, shift_step=1.0, shift_rng_x=2.0,
+                     shift_rng_y=2.0), 4, "random", None),
+        ("fold finalize 90px K=8 structured", 24,
+         AlignConfig(img_dim=90, ring_num=36, ring_len=256, shift_step=1.0,
+                     shift_rng_x=3.0, shift_rng_y=3.0), 8, "structured+fold",
+         None),
     ]
     sel = [int(a) for a in sys.argv[1:]]
     if sel:
@@ -87,12 +103,20 @@ def main() -> int:
         print(f"case {name} ...", flush=True)
         mask = (None if delta is None
                 else delta_angle_mask(cfg.ring_len, delta))
+        fold_case = kind.endswith("+fold")
+        kind = kind.removesuffix("+fold")
         engines = []
-        if fused_supported(cfg, k):
+        if fold_case:
+            # the r5 running-priority fold finalize, Mosaic-compiled
+            engines.append(("fused-fold",
+                            lambda i, r: fused_search(i, r, params, cfg,
+                                                      angle_mask=mask,
+                                                      fold=True)))
+        elif fused_supported(cfg, k):
             engines.append(("fused",
                             lambda i, r: fused_search(i, r, params, cfg,
                                                       angle_mask=mask)))
-        if template_supported(cfg, k):
+        if not fold_case and template_supported(cfg, k):
             engines.append(("template",
                             lambda i, r: template_search(i, r, params, cfg,
                                                          angle_mask=mask)))
@@ -117,14 +141,23 @@ def main() -> int:
         # single-op programs, each a fresh tunnel AOT compile on a cold
         # disk cache (measured: eager prep+decode turned one case into a
         # >40 min run; jitted, the whole case is ~3 min cold)
-        rfw = jax.jit(lambda r: prepare_ref_spectra(r, cfg))(refs)
         params = AlignParams.zeros(n)
         # masked searches decode the exact bin (refine=False), mirroring
         # models/steps.py — prb1d would read -inf at masked neighbors
         decode = jax.jit(lambda r: decode_params(r, params, cfg,
                                                  refine=mask is None))
-        r_mm = jax.jit(lambda i, r: rotational_shift_search_mm(
-            i, r, params, cfg, fast=True, angle_mask=mask))(imgs, rfw)
+        if cfg.ring_scheme == "eman2":
+            from cryo_ralib_tpu.ops.eman_search import (
+                prepare_ref_spectra_eman, rotational_shift_search_eman)
+
+            rfw = jax.jit(lambda r: prepare_ref_spectra_eman(r, cfg))(refs)
+            r_mm = jax.jit(lambda i, r: rotational_shift_search_eman(
+                i, r, params, cfg, sampler="matmul", fast=True,
+                angle_mask=mask))(imgs, rfw)
+        else:
+            rfw = jax.jit(lambda r: prepare_ref_spectra(r, cfg))(refs)
+            r_mm = jax.jit(lambda i, r: rotational_shift_search_mm(
+                i, r, params, cfg, fast=True, angle_mask=mask))(imgs, rfw)
         # host fetch = the only reliable completion barrier on axon
         mm = {f: np.asarray(getattr(r_mm, f)) for f in
               ("best_ref", "best_sidx", "best_aidx", "best_mirror",
