@@ -73,13 +73,13 @@ def _search_one(images, refs_f, params, cfg, sampler, fast, shift_chunk, sf):
 
 
 def _loop(images, avg0, params: AlignParams, gidx, valid, cutoffs, falloffs,
-          cfg: AlignConfig, *, n_iter: int, sampler: str, fast: bool,
-          shift_chunk: int):
+          sf=None, *, cfg: AlignConfig, n_iter: int, sampler: str,
+          fast: bool, shift_chunk: int):
     n_total = jnp.sum(valid)
-    # splat spectra depend only on cfg — computed once, loop-invariant
-    # (one entry per fractional-remainder group)
-    sf = None
-    if sampler == "template":
+    # splat spectra depend only on cfg — loop-invariant; the maker
+    # passes them as a device-resident runtime argument (r5 hoist), the
+    # in-trace rebuild below is the fallback for direct callers
+    if sf is None and sampler == "template":
         from ..ops.template_search import splat_spectra_groups
 
         sf = splat_spectra_groups(cfg)
@@ -102,6 +102,24 @@ def _loop(images, avg0, params: AlignParams, gidx, valid, cutoffs, falloffs,
         return params, avg_new
 
     return jax.lax.fori_loop(0, n_iter, body, (params, avg0))
+
+
+def _loop_sf(cfg: AlignConfig, sampler: str, mesh):
+    """Device-resident splat spectra for the template engine, computed
+    once at loop-build time and passed as a runtime argument (r5 hoist —
+    the per-call in-trace rebuild measured ~150 ms at 256 px; closure
+    constants are ruled out because jax constant-folds them through a
+    host fetch, UNIMPLEMENTED for complex64 on this transport)."""
+    if sampler != "template":
+        return None
+    from ..ops.template_search import splat_spectra_groups
+
+    sf = jax.jit(lambda: splat_spectra_groups(cfg))()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sf = jax.device_put(sf, NamedSharding(mesh, P()))
+    return sf
 
 
 def make_device_loop(cfg: AlignConfig, n_iter: int, cutoffs, falloffs=None,
@@ -142,6 +160,7 @@ def make_device_loop(cfg: AlignConfig, n_iter: int, cutoffs, falloffs=None,
 
     fn = partial(_loop, cfg=cfg, n_iter=n_iter, sampler=sampler, fast=fast,
                  shift_chunk=shift_chunk)
+    sf_dev = _loop_sf(cfg, sampler, mesh)
     kwargs = {}
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -150,24 +169,24 @@ def make_device_loop(cfg: AlignConfig, n_iter: int, cutoffs, falloffs=None,
         repl = NamedSharding(mesh, P())
         pshard = AlignParams(shard, shard, shard, shard, shard)
         kwargs["in_shardings"] = (shard, repl, pshard, shard, shard,
-                                  repl, repl)
+                                  repl, repl, repl)
         kwargs["out_shardings"] = (pshard, repl)
     jitted = jax.jit(fn, **kwargs)
 
     def run(images, avg0, params, gidx, valid):
         return jitted(images, jnp.asarray(avg0), params, gidx, valid,
-                      jnp.asarray(cutoffs), jnp.asarray(falloffs))
+                      jnp.asarray(cutoffs), jnp.asarray(falloffs), sf_dev)
 
     return run
 
 
 def _mref_loop(images, refs0, params: AlignParams, gidx, valid, cutoffs,
-               falloffs, cfg: AlignConfig, *, n_iter: int, n_classes: int,
-               sampler: str, fast: bool, shift_chunk: int):
-    # splat spectra depend only on cfg — computed once, loop-invariant
-    # (one entry per fractional-remainder group)
-    sf = None
-    if sampler == "template":
+               falloffs, sf=None, *, cfg: AlignConfig, n_iter: int,
+               n_classes: int, sampler: str, fast: bool, shift_chunk: int):
+    # splat spectra depend only on cfg — loop-invariant; the maker
+    # passes them as a device-resident runtime argument (r5 hoist), the
+    # in-trace rebuild below is the fallback for direct callers
+    if sf is None and sampler == "template":
         from ..ops.template_search import splat_spectra_groups
 
         sf = splat_spectra_groups(cfg)
@@ -232,6 +251,7 @@ def make_mref_device_loop(cfg: AlignConfig, n_iter: int, n_classes: int,
 
     fn = partial(_mref_loop, cfg=cfg, n_iter=n_iter, n_classes=n_classes,
                  sampler=sampler, fast=fast, shift_chunk=shift_chunk)
+    sf_dev = _loop_sf(cfg, sampler, mesh)
     kwargs = {}
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -240,13 +260,13 @@ def make_mref_device_loop(cfg: AlignConfig, n_iter: int, n_classes: int,
         repl = NamedSharding(mesh, P())
         pshard = AlignParams(shard, shard, shard, shard, shard)
         kwargs["in_shardings"] = (shard, repl, pshard, shard, shard,
-                                  repl, repl)
+                                  repl, repl, repl)
         kwargs["out_shardings"] = (pshard, repl)
     jitted = jax.jit(fn, **kwargs)
 
     def run(images, refs0, params, gidx, valid):
         return jitted(images, jnp.asarray(refs0), params, gidx, valid,
-                      jnp.asarray(cutoffs), jnp.asarray(falloffs))
+                      jnp.asarray(cutoffs), jnp.asarray(falloffs), sf_dev)
 
     return run
 

@@ -51,7 +51,7 @@ def align_step(images, refs, params: AlignParams, global_index, valid,
                cfg: AlignConfig, *, n_classes: int, shift_chunk: int = 8,
                update_ref: bool = True, sampler: str = "auto",
                fast: bool = True, axis_name: str | None = None,
-               angle_mask=None) -> StepOutput:
+               angle_mask=None, sf=None) -> StepOutput:
     """One alignment iteration over one resident batch (trace-level fn).
 
     Args:
@@ -79,6 +79,11 @@ def align_step(images, refs, params: AlignParams, global_index, valid,
         refinement (exact discrete angles, Crosrng_ms_delta semantics);
         every sampler takes the mask (r4 — --dst iterations stay on the
         fast path).
+      sf: optional precomputed splat spectra for the template engine
+        (``splat_spectra_groups``) — cfg-static, so callers that
+        invoke the step repeatedly should hoist it (make_align_step
+        does; measured r5: the per-call rebuild is ~150 ms at 256 px,
+        ~46%% of the step).  Ignored by the other samplers.
 
     ``cfg.ring_scheme == "eman2"`` runs variable Numrinit rings + ringwe
     weights (the CPU twin's exact convention).  Engines: "template"
@@ -112,7 +117,7 @@ def align_step(images, refs, params: AlignParams, global_index, valid,
             from ..ops.template_search import template_search
 
             result = template_search(images, ref_fwg, params, cfg,
-                                     angle_mask=angle_mask)
+                                     angle_mask=angle_mask, sf=sf)
         else:
             result = rotational_shift_search_eman(
                 images, ref_fwg, params, cfg, sampler=sampler, fast=fast,
@@ -159,7 +164,7 @@ def align_step(images, refs, params: AlignParams, global_index, valid,
             from ..ops.template_search import template_search
 
             result = template_search(images, ref_fw, params, cfg,
-                                     angle_mask=angle_mask)
+                                     angle_mask=angle_mask, sf=sf)
         elif sampler == "matmul":
             result = rotational_shift_search_mm(images, ref_fw, params,
                                                 cfg, fast=fast,
@@ -201,7 +206,7 @@ def align_step_shc(images, refs, params: AlignParams, global_index, valid,
                    previousmax, cfg: AlignConfig, *, n_classes: int,
                    shift_chunk: int = 8, fast: bool = True,
                    sampler: str = "auto",
-                   axis_name: str | None = None) -> ShcStepOutput:
+                   axis_name: str | None = None, sf=None) -> ShcStepOutput:
     """One SHC (stochastic hill climbing) iteration.
 
     ``random_method="SHC"`` semantics of the CPU twin
@@ -246,7 +251,7 @@ def align_step_shc(images, refs, params: AlignParams, global_index, valid,
         from ..ops.template_search import template_search_shc
 
         result, found = template_search_shc(images, ref_fw, params, cfg,
-                                            previousmax)
+                                            previousmax, sf=sf)
     elif sampler == "matmul":
         from ..ops.search import rotational_shift_search_shc_mm
 
@@ -299,13 +304,25 @@ def make_align_step_shc(cfg: AlignConfig, n_classes: int,
     """Jitted SHC step, optionally GSPMD-sharded over a 'dp' mesh axis.
 
     Every SHC engine is pure XLA (template/matmul/gather), so GSPMD
-    partitions all of them; "auto" resolves inside align_step_shc."""
+    partitions all of them; "auto" resolves here so the template
+    engine's cfg-static splat spectra can be hoisted (r5)."""
+    if sampler == "auto":
+        if jax.default_backend() == "tpu" and cfg.ring_scheme == "cuda":
+            from ..ops.template_search import template_supported
+
+            sampler = ("template" if template_supported(cfg, n_classes)
+                       else "matmul")
+        elif jax.default_backend() != "tpu":
+            sampler = "gather"
+    sf = _hoisted_sf(cfg) if sampler == "template" else None
     fn = partial(align_step_shc, cfg=cfg, n_classes=n_classes,
                  shift_chunk=shift_chunk, sampler=sampler, fast=fast)
     kwargs = {}
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if sf is not None:
+            sf = jax.device_put(sf, NamedSharding(mesh, P()))
         shard = NamedSharding(mesh, P("dp"))
         repl = NamedSharding(mesh, P())
         param_shard = AlignParams(shard, shard, shard, shard, shard)
@@ -314,7 +331,18 @@ def make_align_step_shc(cfg: AlignConfig, n_classes: int,
         kwargs["out_shardings"] = ShcStepOutput(
             StepOutput(param_shard, repl, repl, shard, repl, repl),
             shard, repl)
-    return jax.jit(fn, **kwargs)
+    if sf is None:
+        return jax.jit(fn, **kwargs)
+
+    def fn_sf(images, refs, params, gidx, valid, pm, sf_):
+        return fn(images, refs, params, gidx, valid, pm, sf=sf_)
+
+    if "in_shardings" in kwargs:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        kwargs["in_shardings"] = kwargs["in_shardings"] \
+            + (NamedSharding(mesh, P()),)
+    return _SfStep(jax.jit(fn_sf, **kwargs), sf)
 
 
 def align_step_scf(images, refs, params: AlignParams, global_index, valid,
@@ -402,6 +430,85 @@ def raw_sum_step(images, global_index, valid, *, n_classes: int = 1):
     return sums
 
 
+def _resolve_sampler(cfg: AlignConfig, n_classes: int, sampler: str) -> str:
+    """The single-device "auto" resolution of ``align_step``, exposed so
+    ``make_align_step`` can know the engine BEFORE tracing (the template
+    engine's splat spectra are cfg-static and must be hoisted out of the
+    per-call trace — measured r5: ~150 ms/call at 256 px otherwise)."""
+    if sampler != "auto":
+        return sampler
+    if jax.default_backend() != "tpu":
+        return "gather"
+    from ..ops.template_search import template_supported
+
+    if cfg.ring_scheme == "eman2":
+        return ("template" if template_supported(cfg, n_classes)
+                else "matmul")
+    from ..ops.fused_search import fused_supported
+
+    return ("fused" if fused_supported(cfg, n_classes)
+            else "template" if template_supported(cfg, n_classes)
+            else "matmul")
+
+
+def _hoisted_sf(cfg: AlignConfig):
+    """Device-resident splat spectra (template engine), computed once at
+    step-build time and bound as a runtime ARGUMENT of the jitted step
+    (via ``_SfStep``) — never a closure constant: jax constant-folds
+    closed-over arrays through a host fetch, which bloats the program
+    with a ~250 MB literal and crashes outright on complex64 over the
+    tunneled TPU transport (host fetches of complex are UNIMPLEMENTED
+    there, CLAUDE.md)."""
+    from ..ops.template_search import splat_spectra_groups
+
+    return jax.jit(lambda: splat_spectra_groups(cfg))()
+
+
+class _SfCompiled:
+    """Compiled-step facade binding the splat spectra as the last call
+    argument; forwards the introspection surface the dryrun placement
+    audit uses (``as_text`` / ``memory_analysis``)."""
+
+    def __init__(self, compiled, sf):
+        self._compiled = compiled
+        self._sf = sf
+
+    def __call__(self, *args):
+        return self._compiled(*args, self._sf)
+
+    def as_text(self):
+        return self._compiled.as_text()
+
+    def memory_analysis(self):
+        return self._compiled.memory_analysis()
+
+
+class _SfLowered:
+    def __init__(self, lowered, sf):
+        self._lowered = lowered
+        self._sf = sf
+
+    def compile(self):
+        return _SfCompiled(self._lowered.compile(), self._sf)
+
+
+class _SfStep:
+    """5-arg (or 6-arg for SHC) step facade over a jitted step whose
+    LAST positional argument is the bound splat-spectra pytree.  Exposes
+    ``lower``/``compile`` so the multichip dryrun's placement audit
+    keeps working."""
+
+    def __init__(self, jitted, sf):
+        self._jitted = jitted
+        self._sf = sf
+
+    def __call__(self, *args):
+        return self._jitted(*args, self._sf)
+
+    def lower(self, *args):
+        return _SfLowered(self._jitted.lower(*args, self._sf), self._sf)
+
+
 def make_align_step(cfg: AlignConfig, n_classes: int, shift_chunk: int = 8,
                     update_ref: bool = True, mesh=None, donate: bool = True,
                     sampler: str = "auto", fast: bool = True,
@@ -452,6 +559,16 @@ def make_align_step(cfg: AlignConfig, n_classes: int, shift_chunk: int = 8,
             else:
                 sampler = ("matmul" if jax.default_backend() == "tpu"
                            else "gather") if sampler == "auto" else "matmul"
+    if mesh is None:
+        sampler = _resolve_sampler(cfg, n_classes, sampler)
+    # hoist the cfg-static splat spectra out of the per-call trace
+    sf = _hoisted_sf(cfg) if sampler == "template" else None
+    if sf is not None and mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # replicate explicitly: a committed single-device array inside a
+        # sharded jit would conflict with the mesh placement
+        sf = jax.device_put(sf, NamedSharding(mesh, P()))
     fn = partial(align_step, cfg=cfg, n_classes=n_classes,
                  shift_chunk=shift_chunk, update_ref=update_ref,
                  sampler=sampler, fast=fast, angle_mask=angle_mask)
@@ -472,7 +589,19 @@ def make_align_step(cfg: AlignConfig, n_classes: int, shift_chunk: int = 8,
         kwargs["out_shardings"] = StepOutput(param_shard, repl, repl, shard, repl, repl)
     if donate:
         kwargs["donate_argnums"] = (2,)  # params buffer
-    return jax.jit(fn, **kwargs)
+    if sf is None:
+        return jax.jit(fn, **kwargs)
+
+    def fn_sf(images, refs, params, gidx, valid, sf_):
+        return fn(images, refs, params, gidx, valid, sf=sf_)
+
+    if "in_shardings" in kwargs:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # a single sharding acts as a pytree prefix for the sf tuple
+        kwargs["in_shardings"] = kwargs["in_shardings"] \
+            + (NamedSharding(mesh, P()),)
+    return _SfStep(jax.jit(fn_sf, **kwargs), sf)
 
 
 def _make_shard_map_step(cfg, n_classes, shift_chunk, update_ref, mesh,

@@ -43,13 +43,25 @@ at ~3.2 TFLOP/s effective — the VPU floor, already paid in bf16
 products and one RMW per ring block; no MXU formulation exists because
 the ring contraction is batched over the minor (lane) frequency axis.
 K>33 chunking costs exactly one extra sampling pass (+~26 ms) per
-chunk: a single-kernel K=64 would need the rows_scr angle-row scratch
-(0.4 MB/ref) replaced by a running per-block priority fold, whose row
-capture needs either per-block dynamic-slice captures (2K x NT slices)
-or a winner re-decode — ~12% on the K=64 row for a finalize rewrite
-shared with the headline path; declined, recorded here.  The chunk
-split is equalized instead (32+32, one compiled shape, half the Mosaic
-compile time of 33+31).
+chunk.  The single-kernel rewrite was BUILT AND MEASURED in r5
+(``fused_search(fold=True)``, the "fold" stage here): each (mirror,
+ref) slab is irfft'd into one reused buffer and folded into per-lane
+(value, priority) running registers + the winner's angle row —
+bit-identical output (interpret CI + hardware parity case 7), and the
+K-scaled rows_scr store disappears so K=64 fits one invocation
+(max_chunk_k_fold).  Measured (one session, v5e): K=8 N=8192 full
+168.9 ms vs fold 168.0 (cost-neutral at small K); K=64 N=4096 full
+(chunked 32+32) 260.1 ms vs fold 283.5 — the fold LOSES 9%: its
+per-slab fold chain (~5 extra (S, NT, L) VPU passes: slab max,
+tie-priority min, per-particle argmin, one-hot row extraction) costs
+~0.18 ms x 128 slabs ≈ 23 ms, more than the one duplicated ~26 ms
+sampling pass it saves minus the dispatch it merges.  The overhead
+scales with K x S (slabs) while the savings scale with chunk count, so
+larger K does not rescue it (K=128: saves ~52 ms, pays ~46).
+REJECTED as default — the chunked merge stays; fold remains opt-in
+(parity-gated) for configs where VMEM, not time, is the binding
+constraint.  The chunk split is equalized (32+32, one compiled shape,
+half the Mosaic compile time of 33+31).
 
 Graveyard (measured slower or flat; kept out of the kernel):
 software-pipelined double-buffered polar scratch (ccf lagging sampling

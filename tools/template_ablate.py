@@ -207,6 +207,17 @@ def main():
         if mode == "full":
             fn = jax.jit(lambda i, r: ts.template_search(i, r, params, cfg))
             dt = _time(lambda i, r: fn(i, r).best_val, imgs, rfw)
+        elif mode == "full_hoist":
+            # r5: splat spectra hoisted to a device-resident pytree
+            # passed as a runtime ARGUMENT (what make_align_step does
+            # via _SfStep — a closed-over array would be constant-folded
+            # through a host fetch, which is UNIMPLEMENTED for complex64
+            # on this transport); the per-call sf rebuild measured
+            # ~150 ms at 256 px
+            sf_d = jax.jit(lambda: ts.splat_spectra_groups(cfg))()
+            fn = jax.jit(lambda i, r, s: ts.template_search(
+                i, r, params, cfg, sf=s))
+            dt = _time(lambda i, r: fn(i, r, sf_d).best_val, imgs, rfw)
         elif mode == "full_stream":
             fn = jax.jit(lambda i, r: ts.template_search(i, r, params, cfg,
                                                          stream=True))
