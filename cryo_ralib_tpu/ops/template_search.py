@@ -250,6 +250,9 @@ def _angle_spectra(ref_fw, cfg, sf_g):
     ringwe weights and short-ring Nyquist pre-halving ride in via
     ``prepare_ref_spectra_eman``)."""
     if cfg.ring_scheme == "eman2":
+        assert len(ref_fw) == len(sf_g), \
+            (len(ref_fw), len(sf_g), "spectra/splat group count mismatch "
+             "— sf built for a different ring plan?")
         n_f = cfg.ring_len // 2 + 1
         k_num = _ref_k(ref_fw)
         wpx = sf_g[0].shape[-1]
