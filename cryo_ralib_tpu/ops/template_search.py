@@ -145,6 +145,23 @@ def _template_blocks_bytes(cfg, n_classes: int) -> int:
             * (width + 2 * pad) ** 2 * 2)
 
 
+def _splat_spectra_bytes(cfg) -> int:
+    """Bytes of the (complex64) splat spectra across fractional groups —
+    the persistent HBM residency of the r5 step-level hoist (4.4 GB at
+    256 px/ou=100; the batch planner must charge it)."""
+    groups, _ = _frac_groups(cfg)
+    _, width, _ = template_geometry(cfg)
+    wpx = width * width
+    if cfg.ring_scheme == "eman2":
+        from .eman_search import eman_groups
+
+        per = sum(len(idx) * (ln // 2 + 1)
+                  for ln, idx, _c in eman_groups(cfg))
+    else:
+        per = cfg.ring_num * (cfg.ring_len // 2 + 1)
+    return len(groups) * per * wpx * 8
+
+
 def template_supported(cfg, n_classes: int) -> bool:
     """Geometry gate for the template engine.
 
@@ -532,17 +549,23 @@ def _online_shc(img_win, cols_fn, c_total: int, chunk: int, ring_len: int,
 def _search_operands(images, ref_fw, params, cfg, sf, stream):
     """Shared preamble of the full and SHC template searches: the bf16
     image window (accumulated shifts fused into the extraction by
-    ``translate_window_mm``) plus the column reader — a materialized
-    (C, Wpx) matrix when it fits the budget (the build holds blocks AND
-    matrix live at once, so their sum is budgeted), streamed block
-    slices otherwise.  Returns ``(win, cols_fn, c_total, chunk)``."""
+    ``translate_window_mm``) plus the column reader — streamed block
+    slices by default, or a materialized (C, Wpx) matrix with
+    ``stream=False``.  Returns ``(win, cols_fn, c_total, chunk)``.
+
+    Default flipped to STREAM in r5 (was: materialize when under the
+    HBM budget): with the splat spectra hoisted, streaming measured
+    FASTER at both tested shapes — 164.4 vs 180.7 ms at 90 px/K=8 and
+    147.8 vs 175.7 ms at 256 px/ou=100 (one session, v5e) — because
+    the materialized path writes + re-reads the full matrix (2.6 GB /
+    4.4 GB respectively) where streaming's dynamic block slices ride
+    the same HBM read the search matmul needs anyway.  Both paths are
+    bit-identical (same slices of the same blocks)."""
     ring_len = cfg.ring_len
     k_num = _ref_k(ref_fw)
     lo, width, _ = template_geometry(cfg)
     if stream is None:
-        stream = (_template_matrix_bytes(cfg, k_num)
-                  + _template_blocks_bytes(cfg, k_num)
-                  > TEMPLATE_MATRIX_BUDGET_BYTES)
+        stream = True
 
     win = translate_window_mm(images, params.shift_x, params.shift_y,
                               lo, width)

@@ -89,9 +89,8 @@ def step_footprint(batch: int, n_refs: int, cfg, pad_to: int | None = None,
         # template engine: bf16 window (translate_window_mm fuses the
         # slice, no full-image copy), per-chunk score transient, and the
         # batch-independent template blocks/matrix
-        from ..ops.template_search import (TEMPLATE_MATRIX_BUDGET_BYTES,
+        from ..ops.template_search import (_splat_spectra_bytes,
                                            _template_blocks_bytes,
-                                           _template_matrix_bytes,
                                            template_geometry)
 
         _, width, _ = template_geometry(cfg)
@@ -102,12 +101,14 @@ def step_footprint(batch: int, n_refs: int, cfg, pad_to: int | None = None,
         translate = batch * (2 * width * h * 2 + width * h * (4 + 2)
                              + width * width * (4 + 2))
         polar_chunk = batch * 2048 * f32            # (N, chunk) scores
-        mtx = _template_matrix_bytes(cfg, n_refs)
-        blocks = _template_blocks_bytes(cfg, n_refs)
-        # the search streams from the blocks when the matrix won't fit
-        spectra = blocks
-        ccf_rows = (mtx if mtx + blocks <= TEMPLATE_MATRIX_BUDGET_BYTES
-                    else 0)
+        # r5: the search STREAMS column chunks from the padded blocks
+        # (no materialized matrix — measured faster at every tested
+        # shape) and the step-level splat-spectra hoist keeps the
+        # complex64 spectra HBM-resident across calls (4.4 GB at
+        # 256 px/ou=100 — a real residency the plan must charge)
+        spectra = _template_blocks_bytes(cfg, n_refs) \
+            + _splat_spectra_bytes(cfg)
+        ccf_rows = 0
     else:
         # polar_group_mm: T (N, Q, W) in bf16 + polar chunk (N, n_dx, Q)
         polar_chunk = batch * q * h * 2 + batch * n_dx * q * f32

@@ -222,6 +222,13 @@ def main():
             fn = jax.jit(lambda i, r: ts.template_search(i, r, params, cfg,
                                                          stream=True))
             dt = _time(lambda i, r: fn(i, r).best_val, imgs, rfw)
+        elif mode == "full_stream_hoist":
+            # stream + hoist: skips BOTH the per-call sf rebuild and the
+            # materialized (C, Wpx) matrix write/read (~4.4 GB at 256 px)
+            sf_d = jax.jit(lambda: ts.splat_spectra_groups(cfg))()
+            fn = jax.jit(lambda i, r, s: ts.template_search(
+                i, r, params, cfg, stream=True, sf=s))
+            dt = _time(lambda i, r: fn(i, r, sf_d).best_val, imgs, rfw)
         elif mode == "build":
             fn = jax.jit(lambda r: ts.build_template_matrix(r, cfg))
             dt = _time(lambda r: fn(r)[:8, :8], rfw)
