@@ -466,8 +466,13 @@ def main():
         except Exception as e:  # noqa: BLE001
             _warn(f"sustained row failed ({type(e).__name__}: {e})")
     if sustained:
+        from cryo_ralib_tpu.models.device_loop import _loop_auto_sampler
+
         _STATE["headline"] = sustained
-        _STATE["detail"]["sampler"] = "fused"
+        # the loop resolves "auto" internally; label what actually ran
+        # (r5: template — the measured-faster sustained engine)
+        _STATE["detail"]["sampler"] = _loop_auto_sampler(CFG, K, "auto",
+                                                         None)
         _STATE["detail"]["timing"] = \
             "sustained device-resident loop, 6 iters/dispatch"
 
@@ -522,11 +527,15 @@ def main():
         _row("ring_plan_pps", _accel_step_row, dev, N_SMALL, reps=3,
              cfg=CFG_PLAN)
 
-        # template-matmul engine (the GSPMD mesh fast path): sustained is
-        # the apples-to-apples comparison against the fused headline
+        # engine-pinned sustained rows: the apples-to-apples fused vs
+        # template comparison behind the auto headline (r5: auto picks
+        # template — it beat the fused loop same-session; the fused row
+        # keeps the r3/r4-comparable number visible)
         if template_supported(CFG, K):
             _row("mref_template_sustained_pps", _sustained_pps, dev, 8192,
                  sampler="template")
+        _row("mref_fused_sustained_pps", _sustained_pps, dev, 8192,
+             sampler="fused")
 
         # large-K rows (BASELINE "large-K mref": K=32 one fused chunk,
         # K=64 the chunked-fused merge)

@@ -104,6 +104,36 @@ def _loop(images, avg0, params: AlignParams, gidx, valid, cutoffs, falloffs,
     return jax.lax.fori_loop(0, n_iter, body, (params, avg0))
 
 
+def _loop_auto_sampler(cfg: AlignConfig, n_classes: int, sampler: str,
+                       mesh) -> str:
+    """Device-loop "auto" engine choice.
+
+    On TPU the loops prefer the TEMPLATE engine (r5, measured flip):
+    with the splat spectra hoisted and the streamed column reader, the
+    template sustained rate beat the fused kernel's in the same session
+    (50.4k vs 48.8k pps at the headline geometry; eman2 50.5k) — the
+    fused path pays a full-image ``translate_bilinear_mm`` every
+    iteration where the template engine fuses the translate into its
+    window extraction.  Single-DISPATCH steps keep the fused preference
+    (make_align_step): there the fused kernel still measured faster
+    (43.3k vs 41.8k same session).  Falls back fused -> matmul when the
+    template geometry gate rejects the config; "gather" off-TPU."""
+    if sampler != "auto":
+        return sampler
+    if jax.default_backend() != "tpu":
+        return "gather"
+    from ..ops.template_search import template_supported
+
+    if template_supported(cfg, n_classes):
+        return "template"
+    if mesh is None:
+        from ..ops.fused_search import fused_supported
+
+        if fused_supported(cfg, n_classes):
+            return "fused"
+    return "matmul"
+
+
 def _loop_sf(cfg: AlignConfig, sampler: str, mesh):
     """Device-resident splat spectra for the template engine, computed
     once at loop-build time and passed as a runtime argument (r5 hoist —
@@ -137,21 +167,7 @@ def make_device_loop(cfg: AlignConfig, n_iter: int, cutoffs, falloffs=None,
 
     Returns fn(images, avg0, params, gidx, valid) -> (params, avg).
     """
-    if sampler == "auto":
-        if jax.default_backend() == "tpu" and mesh is None:
-            from ..ops.fused_search import fused_supported
-            from ..ops.template_search import template_supported
-
-            sampler = ("fused" if fused_supported(cfg, 1)
-                       else "template" if template_supported(cfg, 1)
-                       else "matmul")
-        elif jax.default_backend() == "tpu":
-            from ..ops.template_search import template_supported
-
-            sampler = ("template" if template_supported(cfg, 1)
-                       else "matmul")
-        else:
-            sampler = "gather"
+    sampler = _loop_auto_sampler(cfg, 1, sampler, mesh)
     cutoffs = np.asarray(cutoffs, np.float32)
     assert cutoffs.shape == (n_iter,)
     if falloffs is None:
@@ -228,21 +244,7 @@ def make_mref_device_loop(cfg: AlignConfig, n_iter: int, n_classes: int,
 
     Returns fn(images, refs0, params, gidx, valid) -> (params, refs).
     """
-    if sampler == "auto":
-        if jax.default_backend() == "tpu" and mesh is None:
-            from ..ops.fused_search import fused_supported
-            from ..ops.template_search import template_supported
-
-            sampler = ("fused" if fused_supported(cfg, n_classes)
-                       else "template" if template_supported(cfg, n_classes)
-                       else "matmul")
-        elif jax.default_backend() == "tpu":
-            from ..ops.template_search import template_supported
-
-            sampler = ("template" if template_supported(cfg, n_classes)
-                       else "matmul")
-        else:
-            sampler = "gather"
+    sampler = _loop_auto_sampler(cfg, n_classes, sampler, mesh)
     cutoffs = np.asarray(cutoffs, np.float32)
     assert cutoffs.shape == (n_iter,)
     if falloffs is None:
