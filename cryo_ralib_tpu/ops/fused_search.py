@@ -731,7 +731,13 @@ def fused_search(images, ref_fw, params: AlignParams, cfg: AlignConfig,
         # mirrored search (174.6 vs 180.2 ms per 8192x(K=8,S=49), r3)
         raw4 = cfg.mirror
 
-    img_t = translate_bilinear_mm(images, params.shift_x, params.shift_y)
+    # fast bf16 pre-translate (r5): the kernel's sampling matmuls cast
+    # to bf16 anyway, so for integer accumulated shifts this is
+    # bit-identical to the old f32-HIGHEST translate — which measured
+    # ~3% of the device loop (the gap to the template engine's fused
+    # window extraction)
+    img_t = translate_bilinear_mm(images, params.shift_x, params.shift_y,
+                                  fast=True)
     if tables.x0:
         # big-box central slab (see FusedTables / build_polar_tables)
         img_t = img_t[:, :, tables.x0:tables.x0 + 128]

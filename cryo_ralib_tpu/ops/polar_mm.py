@@ -133,15 +133,33 @@ def _tent_rows_traced(shift, size: int, dtype, offset: int = 0,
     return m.astype(dtype)
 
 
-def translate_bilinear_mm(images, shift_x, shift_y):
+def translate_bilinear_mm(images, shift_x, shift_y, fast: bool = False):
     """Bilinear-translate each image so that
     ``out[y, x] = bilinear(img, y + shift_y, x + shift_x)`` — the
     accumulated-shift recentering the CUDA kernel folds into its texture
     read (cuda/gpu_aln_noref.cu:861-863), as two tent matmuls.
 
     Exact (a pure row/column permutation) for integer shifts.
+
+    ``fast`` (r5) runs bf16 x bf16 -> f32 (MXU native) instead of the
+    f32-HIGHEST 6-pass matmuls — for INTEGER shifts the one-hot tents
+    make the result exactly the bf16 cast of the exact translate, which
+    is bit-equivalent for any consumer that casts to bf16 anyway (the
+    fused kernel's sampling matmuls do); fractional accumulated shifts
+    add the usual ~0.4% bf16 tent noise (the same order as the CUDA
+    texture lerp).  Measured: the HIGHEST translate was ~3% of the
+    fused device loop at the headline geometry (the gap that handed the
+    sustained crown to the template engine).
     """
     n, h, w = images.shape
+    if fast:
+        ty = _tent_rows_traced(jnp.asarray(shift_y), h, jnp.bfloat16)
+        tx = _tent_rows_traced(jnp.asarray(shift_x), w, jnp.bfloat16)
+        kw = dict(preferred_element_type=jnp.float32)
+        out = jnp.einsum("nab,nbw->naw", ty, images.astype(jnp.bfloat16),
+                         **kw)
+        return jnp.einsum("naw,nxw->nax", out.astype(jnp.bfloat16), tx,
+                          **kw)
     ty = _tent_rows_traced(jnp.asarray(shift_y), h, images.dtype)  # (N,H,H)
     tx = _tent_rows_traced(jnp.asarray(shift_x), w, images.dtype)  # (N,W,W)
     out = jnp.einsum("nab,nbw->naw", ty, images, precision=_HP)
