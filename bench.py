@@ -530,10 +530,16 @@ def main():
         # engine-pinned sustained rows: the apples-to-apples fused vs
         # template comparison behind the auto headline (r5: auto picks
         # template — it beat the fused loop same-session; the fused row
-        # keeps the r3/r4-comparable number visible)
+        # keeps the r3/r4-comparable number visible).  When the auto
+        # headline already ran the template loop, reuse it rather than
+        # recompiling the identical program (driver-budget economy).
         if template_supported(CFG, K):
-            _row("mref_template_sustained_pps", _sustained_pps, dev, 8192,
-                 sampler="template")
+            if sustained and _STATE["detail"].get("sampler") == "template":
+                _STATE["detail"]["mref_template_sustained_pps"] = \
+                    round(sustained, 2)
+            else:
+                _row("mref_template_sustained_pps", _sustained_pps, dev,
+                     8192, sampler="template")
         _row("mref_fused_sustained_pps", _sustained_pps, dev, 8192,
              sampler="fused")
 
